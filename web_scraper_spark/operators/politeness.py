@@ -1,0 +1,84 @@
+"""Per-host politeness + salted repartitioning (SURVEY.md §2.9 ST2/ST3,
+north rule: "per-host politeness budget enforced through salted
+repartitioning on host-hash to defeat domain skew").
+
+Reference parity: fixed sleeps — 1-2 s/request (config_manager.py:28),
+5 s/page (main_scraper.py:917-932), 2 s/video
+(new/video_data_parser.py:337-338) — and bounded worker counts
+(main_scraper.py:50-56). In Spark those become:
+
+  * **wave assignment**: within a micro-batch, the i-th request to a host
+    (in crawl order) runs in wave ``i // per_host_parallelism``. Waves are
+    the politeness clock — a fetch task processes its partition wave by
+    wave, inserting ``crawl_delay_ms`` between waves (logical ticks in the
+    sandbox store; real sleeps against a live site).
+  * **salted repartition**: partition by ``(host, salt)`` where hot hosts
+    (row share above ``hot_threshold``) get ``n_salts`` partitions. Without
+    salting, one hot host (~50% of rows in the fixture) pins one executor
+    while the rest idle; with salting its waves spread across executors
+    while per-wave pacing still bounds the *aggregate* request rate because
+    wave boundaries are global per host (computed before the salt split).
+
+The skew decision uses a cheap groupBy-count over the micro-batch (bounded
+rows), not the whole frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_waves(batch: DataFrame, per_host_parallelism: int = 3) -> DataFrame:
+    """Add ``host_rank`` (crawl-order index within host) and ``fetch_wave``.
+
+    ``per_host_parallelism`` mirrors the reference's 3-parallel-downloads
+    bound (config_manager.py:27) — at most that many in-flight requests per
+    host per wave.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("position").asc(), F.col("url_hash").asc()
+    )
+    return batch.withColumn("host_rank", F.row_number().over(w) - 1).withColumn(
+        "fetch_wave", (F.col("host_rank") / per_host_parallelism).cast("int")
+    )
+
+
+def salted_repartition(
+    batch: DataFrame,
+    n_partitions: int,
+    n_salts: int = 8,
+    hot_threshold: float = 0.10,
+) -> DataFrame:
+    """Repartition by (host, salt): hosts holding more than ``hot_threshold``
+    of the batch get ``n_salts`` salt values (their waves interleave across
+    executors); cold hosts get salt 0 and stay whole.
+
+    Salt is derived from ``fetch_wave`` (not random) so rows of one wave of
+    one hot host land in the same partition — pacing stays enforceable —
+    while consecutive waves rotate partitions. Deterministic: no
+    Math.random, so re-runs produce identical placement.
+    """
+    if "fetch_wave" not in batch.columns:
+        batch = assign_waves(batch)
+    total = batch.count()
+    if total == 0:
+        return batch.withColumn("salt", F.lit(0))
+    hot_hosts = [
+        r["host"]
+        for r in batch.groupBy("host").count().filter(F.col("count") > hot_threshold * total).collect()
+    ]
+    salt = F.when(
+        F.col("host").isin(hot_hosts), F.pmod(F.col("fetch_wave"), F.lit(n_salts))
+    ).otherwise(F.lit(0))
+    return batch.withColumn("salt", salt.cast("int")).repartition(
+        n_partitions, F.col("host"), F.col("salt")
+    )
+
+
+def host_schedule(batch: DataFrame, per_host_parallelism: int = 3) -> DataFrame:
+    """Pure scheduling view (for tests/oracles): (host, url, host_rank,
+    fetch_wave) in deterministic order."""
+    return assign_waves(batch, per_host_parallelism).select(
+        "host", "url", "url_hash", "priority", "position", "host_rank", "fetch_wave"
+    )

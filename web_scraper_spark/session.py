@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the sandbox (single JVM, local[N]); the
+same settings are correct on a real cluster except driver memory, which a
+cluster submit overrides. AQE stays on everywhere — it handles skew-join
+splitting and post-shuffle coalescing at 100 TB scale where static
+`spark.sql.shuffle.partitions` guesses are always wrong.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime re-planning — coalesce small shuffle partitions, split
+    # skewed ones (the hot-host skew case of SURVEY.md §4 benefits directly).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas UDF / toPandas traffic (the fetch + decode stages
+    # are Arrow-batched; per-row Python is banned per BASELINE.json input_hint).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    # At 100 TB these two govern scan parallelism; 128 MB splits are the
+    # sweet spot for parquet on object storage.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "web_scraper_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the bench harness can run the identical job at two parallelism levels.
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster leave it unset and let AQE coalesce.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    n_cores = _parse_local_cores(master)
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else max(n_cores, 8)
+    )
+    if master.startswith("local"):
+        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _parse_local_cores(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return 32

@@ -1,0 +1,200 @@
+"""Snapshot-committed tables: an Iceberg-style layer over plain parquet.
+
+The production design is Apache Iceberg (snapshot commits, MERGE INTO,
+partition pruning, time travel). The Iceberg runtime jar is not in this
+sandbox, so this module implements the same *semantics* with manifests over
+immutable parquet files — the engine code above it (plans/crawl.py) only
+talks to this interface, so swapping in real Iceberg is a one-module change
+(see ``ICEBERG_NOTES`` below).
+
+Layout per table::
+
+    root/
+      data/<uuid>/...parquet     immutable file groups, never rewritten
+      manifests/v{N}.json        {"version": N, "entries": [{"path", "bucket"}]}
+      _latest                    text file: latest committed version
+
+Commit protocol (single-writer, like the reference's tmp-file + os.replace
+at new/progress_manager.py:99-113, but table-level): write data files →
+write manifest vN.json → atomically replace ``_latest``. A crash before the
+``_latest`` flip leaves the previous snapshot intact (orphan files are
+harmless and collectable).
+
+Three write modes map to the three state-table shapes (SURVEY.md §1.2):
+
+  * ``commit_overwrite`` — full replace (seeding).
+  * ``commit_append``    — append-only logs: seen, payload, metrics.
+  * ``commit_merge_buckets`` — replace only the named buckets (frontier,
+    bucketed by priority): per micro-batch only the touched priority
+    buckets are rewritten; every other bucket's files are *referenced*,
+    not copied — exactly Iceberg's manifest-reuse. At a 10^10-row frontier
+    this is the difference between O(batch) and O(frontier) write cost.
+
+``read`` unions the manifest's file groups. Reads of a log-structured
+upsert table (failures) resolve latest-record-wins via a window — Iceberg's
+merge-on-read.
+
+ICEBERG_NOTES: with iceberg-spark-runtime on the classpath the equivalents
+are ``df.writeTo(t).createOrReplace()`` / ``.append()`` /
+``MERGE INTO t USING batch ON t.url_hash = batch.url_hash WHEN MATCHED
+UPDATE ... WHEN NOT MATCHED INSERT ...`` with the table partitioned by
+``bucket(N, priority)``, and resume = ``spark.read.option("snapshot-id",
+...)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.root = os.path.join(root, name)
+        self.name = name
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+
+    # ------------------------------------------------------------ versions
+
+    def latest_version(self) -> int:
+        p = os.path.join(self.root, "_latest")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "entries": []}
+        with open(os.path.join(self.root, "manifests", f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, entries: list[dict]) -> int:
+        v = self.latest_version() + 1
+        mpath = os.path.join(self.root, "manifests", f"v{v}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "entries": entries}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        ltmp = os.path.join(self.root, "_latest.tmp")
+        with open(ltmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ltmp, os.path.join(self.root, "_latest"))
+        return v
+
+    def _write_group(self, df: DataFrame) -> str:
+        path = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(path)
+        return path
+
+    # ------------------------------------------------------------- writes
+
+    def commit_overwrite(self, df: DataFrame) -> int:
+        return self._commit_manifest([{"path": self._write_group(df), "bucket": None}])
+
+    def commit_append(self, df: DataFrame) -> int:
+        entries = list(self._manifest(self.latest_version())["entries"])
+        entries.append({"path": self._write_group(df), "bucket": None})
+        return self._commit_manifest(entries)
+
+    def _write_bucketed(self, df: DataFrame, bucket_col: str) -> list[dict]:
+        """One ``df.write.partitionBy(bucket)`` job → one manifest entry per
+        bucket subdir. The bucket column is directory-encoded (dropped from
+        data files), exactly parquet/Iceberg partition layout."""
+        base = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.partitionBy(bucket_col).parquet(base)
+        entries = []
+        for d in os.listdir(base):
+            if d.startswith(f"{bucket_col}="):
+                entries.append(
+                    {"path": os.path.join(base, d), "bucket": int(d.split("=", 1)[1])}
+                )
+        return entries
+
+    def commit_overwrite_bucketed(self, df: DataFrame, bucket_col: str) -> int:
+        return self._commit_manifest(self._write_bucketed(df, bucket_col))
+
+    def commit_merge_buckets(
+        self, df: DataFrame, bucket_col: str, bucket_values: list
+    ) -> int:
+        """Replace the named buckets; re-reference every other file group
+        untouched (Iceberg manifest reuse — O(batch) write cost, not
+        O(table)). ``df`` must contain exactly the new contents of those
+        buckets, including ``bucket_col``. The previous snapshot must be
+        bucketed (commit_overwrite_bucketed) — a bucket-less file group
+        would silently duplicate rows, so it is an error."""
+        prev = self._manifest(self.latest_version())["entries"]
+        if any(e["bucket"] is None for e in prev):
+            raise ValueError(
+                f"{self.name}: merge requires a bucketed snapshot; "
+                "seed with commit_overwrite_bucketed"
+            )
+        changed = set(bucket_values)
+        entries = [e for e in prev if e["bucket"] not in changed]
+        entries.extend(self._write_bucketed(df, bucket_col))
+        return self._commit_manifest(entries)
+
+    # -------------------------------------------------------------- reads
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Read a snapshot (latest by default; pass ``version`` for time
+        travel). Returns None for an empty/never-committed table."""
+        v = self.latest_version() if version is None else version
+        paths = [e["path"] for e in self._manifest(v)["entries"]]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_upsert_log(
+        self, spark: SparkSession, key: str, order_col: str, version: int | None = None
+    ) -> DataFrame | None:
+        """Merge-on-read for an append-log upsert table: latest record per
+        key wins (ordered by ``order_col`` desc)."""
+        from pyspark.sql import Window
+
+        df = self.read(spark, version)
+        if df is None:
+            return None
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+class CheckpointLog:
+    """Multi-table atomic checkpoint: one JSON per batch recording every
+    table's committed version + scheduler counters. Resume = read the last
+    checkpoint and open each table at exactly that version — tables that
+    committed after the last checkpoint (crash mid-batch) are simply not
+    visible, giving all-or-nothing batch semantics (the reference's resume
+    re-reads progress.json, main_scraper.py:219-355; here it is
+    transactional)."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "checkpoints")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def latest(self) -> dict | None:
+        ids = sorted(
+            int(f[3:-5]) for f in os.listdir(self.dir) if f.startswith("ck_") and f.endswith(".json")
+        )
+        if not ids:
+            return None
+        with open(os.path.join(self.dir, f"ck_{ids[-1]:09d}.json")) as f:
+            return json.load(f)
+
+    def commit(self, batch_id: int, state: dict) -> None:
+        path = os.path.join(self.dir, f"ck_{batch_id:09d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, **state}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
