@@ -1,0 +1,189 @@
+"""End-to-end: the Spark engine must reproduce the pure-Python oracle's
+crawl order, discovered-URL set, and failure state under the same seed
+list + politeness budget + fault plan (SURVEY.md §5 rebuild test plan),
+and resume from a snapshot checkpoint mid-crawl."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark import datagen, schemas
+from web_scraper_spark.plans.crawl import CrawlEngine
+
+from .oracle import Item, run_oracle
+
+N_PAGES, VPP = 5, 24
+BATCH = 50
+
+
+def _fixture(spark, tmp_root, with_faults=True):
+    site = datagen.site_graph_df(spark, N_PAGES, VPP)
+    robots = datagen.robots_df(spark)
+    ppath = os.path.join(tmp_root, "origin_payload")
+    spark.createDataFrame(
+        datagen.gen_payload_pdf(N_PAGES * VPP), schema=schemas.PAYLOAD_SCHEMA
+    ).write.parquet(ppath)
+    faults = {}
+    if with_faults:
+        fpdf = datagen.gen_fault_plan_pdf(N_PAGES * VPP, fail_rate=0.15)
+        faults = {r.image_id: (r.fail_mode, int(r.fail_count)) for r in fpdf.itertuples()}
+    return site, robots, ppath, faults
+
+
+def _oracle_inputs(spark, site, robots_df):
+    """Build oracle Items with the engine's own canonical url/hash/host
+    (the oracle tests ordering semantics, not the hash function)."""
+    from web_scraper_spark.operators.frontier import seed_frontier_from_site
+
+    rows = seed_frontier_from_site(site).collect()
+    items = [
+        Item(
+            url=r["url"],
+            url_hash=r["url_hash"],
+            host=r["host"],
+            image_id=r["image_id"],
+            priority=r["priority"],
+            position=r["position"],
+        )
+        for r in rows
+    ]
+    robots = {
+        r["host"]: {"disallow_prefixes": list(r["disallow_prefixes"])}
+        for r in robots_df.collect()
+    }
+    return items, robots
+
+
+def _run_engine(spark, tmp_root, site, robots, ppath, faults, name, **kw):
+    eng = CrawlEngine(os.path.join(tmp_root, name), batch_size=BATCH, n_partitions=8, **kw)
+    eng.attach_store(ppath, faults)
+    eng.init(site, robots)
+    eng.run(spark, max_batches=100)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    """One engine+oracle crawl, shared by the comparison tests."""
+    tmp_root = str(tmp_path_factory.mktemp("e2e"))
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root)
+    eng = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "state")
+    items, robots = _oracle_inputs(spark, site, robots_df)
+    oracle = run_oracle(items, robots, faults, BATCH)
+    return eng, oracle, faults
+
+
+def test_crawl_order_matches_oracle(spark, crawl):
+    eng, oracle, _ = crawl
+    got = [(r["seq"], r["url"], r["image_id"]) for r in eng.crawl_order(spark).collect()]
+    assert got == oracle.schedule
+
+
+def test_seen_set_matches_oracle(spark, crawl):
+    eng, oracle, _ = crawl
+    got = {
+        r["url_hash"]: (r["image_id"], r["committed_seq"])
+        for r in eng.seen_set(spark).collect()
+    }
+    assert got == oracle.seen
+
+
+def test_failure_state_matches_oracle(spark, crawl):
+    eng, oracle, _ = crawl
+    fs = eng.failure_state(spark)
+    got = (
+        {}
+        if fs is None
+        else {
+            r["url_hash"]: (r["error_class"], r["attempts"], r["permanent"])
+            for r in fs.collect()
+        }
+    )
+    want = {
+        it.url_hash: (
+            it.error_class,
+            it.attempts,
+            it.status == "permanent",
+        )
+        for it in oracle.final_status.values()
+        if it.status in ("permanent",) or it.attempts > 0
+    }
+    # engine logs a failure row for every row that ever failed; compare the
+    # terminal record per url
+    assert got == want
+
+
+def test_frontier_terminal_statuses(spark, crawl):
+    eng, oracle, _ = crawl
+    frontier = eng.frontier.read(spark)
+    got = {r["url_hash"]: r["status"] for r in frontier.collect()}
+    want = {it.url_hash: it.status for it in oracle.final_status.values()}
+    assert got == want
+
+
+def test_payload_out_validated_rows_only(spark, crawl):
+    eng, oracle, _ = crawl
+    out = eng.payload_out.read(spark)
+    ids = {r["image_id"] for r in out.select("image_id").collect()}
+    assert ids == {img for img, _ in oracle.seen.values()}
+    # every committed payload decodes + round-trips its phash
+    assert out.filter(F.col("bytes").isNull()).count() == 0
+    assert out.filter(F.col("phash").isNull()).count() == 0
+
+
+def test_metrics_present(spark, crawl):
+    eng, _, _ = crawl
+    m = eng.metrics(spark)
+    assert m is not None
+    names = {r["metric"] for r in m.select("metric").distinct().collect()}
+    assert {"scheduled", "fetched_ok", "failed", "bytes"} <= names
+
+
+def test_resume_from_checkpoint_matches_uninterrupted(spark, tmp_path):
+    """Stop after 2 batches, build a NEW engine object on the same root
+    (simulated restart), finish, and compare full trace + seen set against
+    an uninterrupted run (ST8 semantics, reference main_scraper.py:219-355)."""
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root)
+
+    full = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "full")
+
+    part = CrawlEngine(os.path.join(tmp_root, "part"), batch_size=BATCH, n_partitions=8)
+    part.attach_store(ppath, faults)
+    part.init(site, robots_df)
+    part.run_batch(spark)
+    part.run_batch(spark)
+    # restart: fresh object, same root — state comes from snapshots only
+    resumed = CrawlEngine(os.path.join(tmp_root, "part"), batch_size=BATCH, n_partitions=8)
+    resumed.attach_store(ppath, faults)
+    resumed.run(spark, max_batches=100)
+
+    a = [tuple(r) for r in full.crawl_order(spark).collect()]
+    b = [tuple(r) for r in resumed.crawl_order(spark).collect()]
+    assert a == b
+    sa = {tuple(r) for r in full.seen_set(spark).collect()}
+    sb = {tuple(r) for r in resumed.seen_set(spark).collect()}
+    assert sa == sb
+
+
+def test_bloom_and_exact_paths_agree(spark, tmp_path):
+    """Force the bloom pre-filter on (bloom_min_seen=0) and verify the
+    crawl is identical to the exact-join path."""
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    a = _run_engine(
+        spark, tmp_root, site, robots_df, ppath, faults, "exact", use_bloom=False
+    )
+    b = _run_engine(
+        spark, tmp_root, site, robots_df, ppath, faults, "bloom",
+        use_bloom=True, bloom_min_seen=0,
+    )
+    assert [tuple(r) for r in a.crawl_order(spark).collect()] == [
+        tuple(r) for r in b.crawl_order(spark).collect()
+    ]
+    assert {tuple(r) for r in a.seen_set(spark).collect()} == {
+        tuple(r) for r in b.seen_set(spark).collect()
+    }

@@ -1,0 +1,92 @@
+"""Image codec / phash / batch-validation tests (no Spark needed).
+
+The PNG path is a real codec (round-trips losslessly); the 'jpeg' path is
+the clearly-marked deterministic lossy stub whose PSNR must sit in the
+spec's >=40 dB window (BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from web_scraper_spark.datagen import make_image
+from web_scraper_spark.functions.imaging import (
+    PSNR_LOSSY_MIN_DB,
+    decode_image,
+    decode_validate_batch,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+    sniff_format,
+)
+
+
+def test_png_lossless_roundtrip():
+    img = make_image(7, 64, 48)
+    blob = encode_image(img, "png")
+    assert sniff_format(blob) == "png"
+    out = decode_image(blob, "png")
+    np.testing.assert_array_equal(img, out)
+
+
+def test_lossy_stub_psnr_above_40db():
+    for i in range(5):
+        img = make_image(i, 64, 48)
+        blob = encode_image(img, "jpeg")
+        out = decode_image(blob, "jpeg")
+        assert psnr(img, out) >= PSNR_LOSSY_MIN_DB
+
+
+def test_phash_deterministic_and_discriminative():
+    a = phash64(make_image(1, 64, 48))
+    a2 = phash64(make_image(1, 64, 48))
+    b = phash64(make_image(2, 64, 48))
+    assert a == a2
+    assert hamming64(a, b) > 0
+
+
+def test_phash_stable_under_lossy_roundtrip():
+    img = make_image(3, 64, 48)
+    blob = encode_image(img, "jpeg")
+    assert phash64(decode_image(blob, "jpeg")) == phash64(
+        decode_image(blob, "jpeg")
+    )
+
+
+def test_decode_validate_batch_paths():
+    img = make_image(11, 64, 48)
+    good_png = encode_image(img, "png")
+    good_jpg = encode_image(img, "jpeg")
+    truncated = good_png[: len(good_png) // 2]
+    blobs = pd.Series([good_png, good_jpg, truncated, None, b"xx"], dtype=object)
+    fmts = pd.Series(["png", "jpeg", "png", "png", "png"], dtype=object)
+    out = decode_validate_batch(blobs, fmts)
+    assert list(out["ok"]) == [True, True, False, False, False]
+    assert out["w"].iloc[0] == 64 and out["h"].iloc[0] == 48
+    assert "decode failed" in out["error"].iloc[2]
+    assert "too small" in out["error"].iloc[3]
+
+
+def test_decode_validate_phash_mismatch():
+    img = make_image(12, 64, 48)
+    blob = encode_image(img, "png")
+    wrong = phash64(make_image(13, 64, 48))
+    out = decode_validate_batch(
+        pd.Series([blob], dtype=object),
+        pd.Series(["png"], dtype=object),
+        pd.Series([wrong], dtype=object),
+    )
+    assert not out["ok"].iloc[0]
+    assert "phash mismatch" in out["error"].iloc[0]
+
+
+def test_sniff_rejects_format_spoof():
+    img = make_image(14, 32, 24)
+    png = encode_image(img, "png")
+    out = decode_validate_batch(
+        pd.Series([png], dtype=object), pd.Series(["jpeg"], dtype=object)
+    )
+    assert not out["ok"].iloc[0]
+    assert "magic bytes" in out["error"].iloc[0]

@@ -92,7 +92,7 @@ def duration_to_seconds(text: Column | str) -> Column:
 def iso8601_duration_to_hms(text: Column | str) -> Column:
     """'PT1H23M45S' → 'H:MM:SS' (reference new/video_extractor.py:540-578)."""
     c = F.trim(F.col(text) if isinstance(text, str) else text)
-    h = F.coalesce(F.regexp_extract(c, r"(\d+)H", 1).cast("long"), F.lit(0))
+    h = F.coalesce(F.nullif(F.regexp_extract(c, r"(\d+)H", 1), F.lit("")).cast("long"), F.lit(0))
     m = F.coalesce(F.nullif(F.regexp_extract(c, r"(\d+)M", 1), F.lit("")).cast("long"), F.lit(0))
     s = F.coalesce(F.nullif(F.regexp_extract(c, r"(\d+(?:\.\d+)?)S", 1), F.lit("")).cast("double").cast("long"), F.lit(0))
     total = h * 3600 + m * 60 + s

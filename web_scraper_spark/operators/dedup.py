@@ -181,6 +181,53 @@ def bloom_probe(
     return frontier.mapInPandas(_probe, schema=out_schema)
 
 
+def mark_seen(
+    batch: DataFrame,
+    seen_keys: DataFrame | None,
+    key: str = "url_hash",
+    use_bloom: bool = True,
+    n_shards: int = 32,
+    fpr: float = 0.01,
+    seen_count: int | None = None,
+    bloom_min_seen: int = 20_000,
+    out_col: str = "is_seen",
+) -> DataFrame:
+    """Flag variant of the dedup operator: adds ``out_col`` instead of
+    filtering, so one downstream checkpoint can serve both the kept and the
+    skipped rows (the skipped ones still need a frontier status update).
+
+    Bloom engages only once the seen-set is big enough to beat the plain
+    broadcast-hash anti-join (``bloom_min_seen``); below that the exact join
+    is already one broadcast away and the bloom build would cost more jobs
+    than it saves.
+    """
+    if seen_keys is None:
+        return batch.withColumn(out_col, F.lit(False))
+    seen_marked = seen_keys.select(key).distinct().withColumn("__hit", F.lit(True))
+    n = seen_count if seen_count is not None else None
+    if use_bloom and (n is None or n >= bloom_min_seen):
+        shards = build_bloom_shards(
+            seen_keys, key, n_shards, fpr, n_keys_hint=seen_count
+        )
+        probed = bloom_probe(batch, shards, key, n_shards)
+        definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen").withColumn(
+            out_col, F.lit(False)
+        )
+        maybe = (
+            probed.filter(F.col("maybe_seen"))
+            .drop("maybe_seen")
+            .join(seen_marked, key, "left")
+            .withColumn(out_col, F.coalesce(F.col("__hit"), F.lit(False)))
+            .drop("__hit")
+        )
+        return definite_new.unionByName(maybe)
+    return (
+        batch.join(seen_marked, key, "left")
+        .withColumn(out_col, F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
 def dedup_against_seen(
     frontier: DataFrame,
     seen: DataFrame,

@@ -49,6 +49,7 @@ def salted_repartition(
     n_partitions: int,
     n_salts: int = 8,
     hot_threshold: float = 0.10,
+    hot_hosts: list[str] | None = None,
 ) -> DataFrame:
     """Repartition by (host, salt): hosts holding more than ``hot_threshold``
     of the batch get ``n_salts`` salt values (their waves interleave across
@@ -61,13 +62,20 @@ def salted_repartition(
     """
     if "fetch_wave" not in batch.columns:
         batch = assign_waves(batch)
-    total = batch.count()
-    if total == 0:
-        return batch.withColumn("salt", F.lit(0))
-    hot_hosts = [
-        r["host"]
-        for r in batch.groupBy("host").count().filter(F.col("count") > hot_threshold * total).collect()
-    ]
+    if hot_hosts is None:
+        # standalone use: detect skew with a count over the bounded batch.
+        # The crawl engine passes hot_hosts precomputed from its single
+        # per-batch stats pass, so no extra jobs run on that path.
+        total = batch.count()
+        if total == 0:
+            return batch.withColumn("salt", F.lit(0))
+        hot_hosts = [
+            r["host"]
+            for r in batch.groupBy("host")
+            .count()
+            .filter(F.col("count") > hot_threshold * total)
+            .collect()
+        ]
     salt = F.when(
         F.col("host").isin(hot_hosts), F.pmod(F.col("fetch_wave"), F.lit(n_salts))
     ).otherwise(F.lit(0))

@@ -13,31 +13,41 @@ so politeness backoff (`next_attempt_ts`) and retry scheduling replay
 identically across runs and parallelism levels. Real deployments swap the
 logical clock for wall time; nothing else changes.
 
-Per-batch dataflow::
+Per-batch dataflow (designed for a bounded number of Spark jobs per batch —
+fixed job overhead is what murders micro-batch engines, at any scale)::
 
-    frontier snapshot ──eligible──▶ take_batch (window-ranked micro-batch)
-        ▶ dedup (bloom pre-filter + exact anti-join vs seen)
-        ▶ robots broadcast-join filter
-        ▶ schedule: global seq assignment (crawl-order trace)
-        ▶ join payload store ▶ assign waves ▶ salted repartition
-        ▶ mapInPandas fetch + decode + phash validate
-        ▶ commits: payload+seen (append), failures (append-log upsert),
-                   schedule trace (append), metrics (append),
-                   frontier (bucket merge on touched priorities)
-        ▶ checkpoint (atomic multi-table snapshot pin)
+    frontier snapshot ──eligible──▶ take_batch        [job: cutoff agg]
+        ▶ annotate lazily: in-batch dup rank, seen flag (bloom + exact
+          join), robots broadcast flag, global seq — ONE localCheckpoint
+                                                      [job: pin batch]
+        ▶ one stats pass: per-host counts → totals, hot hosts (salting),
+          touched frontier buckets                    [job: groupBy collect]
+        ▶ join payload store (broadcast the bounded batch; the 100 TB
+          payload table is never shuffled) ▶ assign politeness waves
+          ▶ salted repartition ▶ mapInPandas fetch + decode + phash
+                                                      [job: pin results]
+        ▶ result stats                                [job: agg]
+        ▶ commits: payload+seen (append), failures (append-log), schedule
+          trace (append), frontier (bucket merge)     [4-5 write jobs]
+        ▶ checkpoint (atomic multi-table snapshot pin; per-batch metrics
+          ride in the checkpoint JSON — no extra write job)
+
+~9 Spark jobs per micro-batch total. Every per-row operation is a column
+expression or an Arrow-batched pandas UDF; nothing iterates rows on the
+driver.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
 from ..functions.errors import backoff_seconds, classify_error, should_retry
-from ..operators.dedup import dedup_against_seen
-from ..operators.frontier import eligible, rank_frontier, seed_frontier_from_site, take_batch
+from ..operators.dedup import mark_seen
+from ..operators.frontier import eligible, order_cols, seed_frontier_from_site, take_batch
 from ..operators.politeness import assign_waves, salted_repartition
 from ..sources.snapshots import CheckpointLog, SnapshotTable
 from ..sources.store import fetch_and_validate, join_payload_store
@@ -45,6 +55,7 @@ from ..sources.store import fetch_and_validate, join_payload_store
 LOGICAL_EPOCH = "2026-01-01 00:00:00"
 TICK_SECONDS = 60  # logical seconds advanced per micro-batch
 N_FRONTIER_BUCKETS = 64  # frontier partitioning: bucket = pmod(priority, 64)
+HOT_HOST_SHARE = 0.10  # batch share above which a host gets salted
 
 
 def _bucket(col: F.Column) -> F.Column:
@@ -60,6 +71,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         n_partitions: int = 32,
         verify_phash: bool = True,
+        bloom_min_seen: int = 20_000,
     ):
         self.root = root
         self.batch_size = batch_size
@@ -67,13 +79,13 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.n_partitions = n_partitions
         self.verify_phash = verify_phash
+        self.bloom_min_seen = bloom_min_seen
         os.makedirs(root, exist_ok=True)
         self.frontier = SnapshotTable(root, "frontier")
         self.seen = SnapshotTable(root, "seen")
         self.failures = SnapshotTable(root, "failures")
         self.payload_out = SnapshotTable(root, "payload_out")
         self.schedule_log = SnapshotTable(root, "schedule_log")
-        self.metrics = SnapshotTable(root, "metrics")
         self.robots = SnapshotTable(root, "robots")
         self.checkpoints = CheckpointLog(root)
 
@@ -94,11 +106,11 @@ class CrawlEngine:
                     "failures": 0,
                     "payload_out": 0,
                     "schedule_log": 0,
-                    "metrics": 0,
                     "robots": rv,
                 },
                 "next_seq": 1,
                 "logical_s": 0.0,
+                "seen_count": 0,
             },
         )
 
@@ -107,12 +119,14 @@ class CrawlEngine:
     def _logical_ts(self, logical_s: float) -> F.Column:
         return F.to_timestamp(F.lit(LOGICAL_EPOCH)) + F.make_dt_interval(secs=F.lit(logical_s))
 
-    def _robots_filter(self, batch: DataFrame, robots: DataFrame | None) -> tuple[DataFrame, DataFrame]:
-        """(allowed_with_delay, blocked). Robots ships as a broadcast join —
-        the cache-as-broadcast-table of the north rule. URL allowed iff its
-        path matches no disallow prefix for its host."""
+    def _annotate_robots(self, batch: DataFrame, robots: DataFrame | None) -> DataFrame:
+        """Add ``blocked`` + ``crawl_delay_ms`` via a broadcast join against
+        the robots cache — the cache-as-broadcast-table of the north rule.
+        URL blocked iff its path matches a disallow prefix for its host."""
         if robots is None:
-            return batch.withColumn("crawl_delay_ms", F.lit(0)), batch.limit(0)
+            return batch.withColumn("blocked", F.lit(False)).withColumn(
+                "crawl_delay_ms", F.lit(0)
+            )
         from ..functions.urlnorm import url_path
 
         joined = batch.join(F.broadcast(robots), "host", "left")
@@ -121,14 +135,11 @@ class CrawlEngine:
             F.coalesce(F.col("disallow_prefixes"), F.array()),
             lambda p: path.startswith(p),
         )
-        joined = joined.withColumn("__blocked", blocked_expr).withColumn(
-            "crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+        return (
+            joined.withColumn("blocked", blocked_expr)
+            .withColumn("crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
+            .drop("disallow_prefixes")
         )
-        allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "disallow_prefixes")
-        blocked = joined.filter(F.col("__blocked")).drop(
-            "__blocked", "disallow_prefixes", "crawl_delay_ms"
-        )
-        return allowed, blocked
 
     # ------------------------------------------------------------ batch
 
@@ -141,21 +152,65 @@ class CrawlEngine:
         batch_id = ck["batch_id"] + 1
         logical_s = float(ck["logical_s"]) + TICK_SECONDS
         next_seq = int(ck["next_seq"])
+        seen_count = int(ck.get("seen_count", 0))
 
         frontier = self.frontier.read(spark, v["frontier"])
         seen = self.seen.read(spark, v["seen"])
         robots = self.robots.read(spark, v["robots"])
         now = self._logical_ts(logical_s)
 
+        # -- take the micro-batch (window-ranked priority queue) ------------
         elig = eligible(frontier, logical_now=now)
         batch = take_batch(elig, self.batch_size).drop("seq")
-        batch = batch.localCheckpoint(eager=True)  # pin: frontier re-reads below must not recompute
-        n_scheduled_raw = batch.count()
-        if n_scheduled_raw == 0:
+
+        # -- annotate lazily, pin once --------------------------------------
+        # in-batch duplicate guard (reference P1 dedupes within a page)
+        wdup = Window.partitionBy("url_hash").orderBy(*order_cols())
+        batch = batch.withColumn("__dup", F.row_number().over(wdup) > 1)
+        seen_keys = seen.select("url_hash") if seen is not None else None
+        batch = mark_seen(
+            batch,
+            seen_keys,
+            use_bloom=self.use_bloom,
+            seen_count=seen_count,
+            bloom_min_seen=self.bloom_min_seen,
+        )
+        batch = batch.withColumn("is_seen", F.col("is_seen") | F.col("__dup")).drop("__dup")
+        batch = self._annotate_robots(batch, robots)
+        sched = (~F.col("is_seen")) & (~F.col("blocked"))
+        # global crawl-order seq: running count of scheduled rows in crawl
+        # order. A single-reducer window, but over ≤ batch_size rows — the
+        # price of exact reference-order reproduction, bounded by design.
+        wseq = Window.orderBy(*order_cols()).rowsBetween(Window.unboundedPreceding, 0)
+        batch = batch.withColumn(
+            "seq",
+            F.when(sched, F.sum(sched.cast("long")).over(wseq) + F.lit(next_seq - 1)).cast(
+                "long"
+            ),
+        )
+        batch = batch.localCheckpoint(eager=True)
+
+        # -- ONE stats pass: totals, hot hosts, touched buckets -------------
+        host_rows = (
+            batch.groupBy("host")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_if(F.col("is_seen")).alias("n_seen"),
+                F.count_if(~F.col("is_seen") & F.col("blocked")).alias("n_blocked"),
+                F.count_if(sched).alias("n_sched"),
+                F.collect_set(_bucket(F.col("priority"))).alias("buckets"),
+            )
+            .collect()
+        )
+        n_raw = sum(r["n"] for r in host_rows)
+        if n_raw == 0:
             # nothing eligible now — if retryable failures exist in the
             # future, jump the logical clock to the earliest retry time.
-            pending_later = frontier.filter(F.col("status") == "failed")
-            nxt = pending_later.agg(F.min("next_attempt_ts").alias("t")).collect()[0]["t"]
+            nxt = (
+                frontier.filter(F.col("status") == "failed")
+                .agg(F.min("next_attempt_ts").alias("t"))
+                .collect()[0]["t"]
+            )
             if nxt is None:
                 return None
             self.checkpoints.commit(
@@ -164,141 +219,166 @@ class CrawlEngine:
                     "versions": v,
                     "next_seq": next_seq,
                     "logical_s": self._ts_to_logical(nxt),
+                    "seen_count": seen_count,
                 },
             )
             return {"batch_id": batch_id, "scheduled": 0, "clock_jump": True}
 
-        # -- dedup (bloom + exact anti-join) --------------------------------
-        if seen is not None:
-            seen_keys = seen.select("url_hash")
-            deduped = dedup_against_seen(
-                batch, seen_keys, use_bloom=self.use_bloom, seen_count=seen.count()
-            )
-        else:
-            deduped = batch
-        # in-batch dup guard (reference P1 dedupes within a page)
-        deduped = deduped.dropDuplicates(["url_hash"])
-
-        # -- robots ---------------------------------------------------------
-        allowed, blocked = self._robots_filter(deduped, robots)
-        allowed = allowed.localCheckpoint(eager=True)
-        blocked = blocked.localCheckpoint(eager=True)
-
-        # -- global crawl-order seq (the reproducible trace) ----------------
-        scheduled = rank_frontier(allowed).withColumn("seq", F.col("seq") + F.lit(next_seq - 1))
-        scheduled = scheduled.localCheckpoint(eager=True)
-        n_scheduled = scheduled.count()
+        n_sched = sum(r["n_sched"] for r in host_rows)
+        n_skipped = sum(r["n_seen"] for r in host_rows)
+        n_blocked = sum(r["n_blocked"] for r in host_rows)
+        hot_hosts = [r["host"] for r in host_rows if r["n_sched"] > HOT_HOST_SHARE * max(n_sched, 1)]
+        touched = sorted({b for r in host_rows for b in r["buckets"]})
 
         # -- fetch + validate ------------------------------------------------
-        payload = self._payload_store(spark)
-        fault_bc = self._fault_bc(spark)
-        withp = join_payload_store(scheduled, payload)
-        waved = assign_waves(withp, self.per_host_parallelism)
-        placed = salted_repartition(waved, self.n_partitions)
-        results = fetch_and_validate(placed, fault_bc, self.verify_phash).localCheckpoint(eager=True)
-
-        ok = results.filter(F.col("ok"))
-        bad = results.filter(~F.col("ok"))
+        scheduled = batch.filter(sched)
+        results = None
+        n_ok = n_bad = 0
+        total_bytes = 0
+        if n_sched > 0:
+            payload = self._payload_store(spark)
+            fault_bc = self._fault_bc(spark)
+            withp = join_payload_store(scheduled, payload)
+            waved = assign_waves(withp, self.per_host_parallelism)
+            placed = salted_repartition(waved, self.n_partitions, hot_hosts=hot_hosts)
+            results = fetch_and_validate(placed, fault_bc, self.verify_phash).localCheckpoint(
+                eager=True
+            )
+            # scheduled rows with no origin payload row = 404s (synthesized
+            # here so the payload join stays a broadcast inner join)
+            missing = scheduled.join(
+                F.broadcast(results.select("url_hash")), "url_hash", "left_anti"
+            ).select(
+                "url",
+                "url_hash",
+                "host",
+                "image_id",
+                "priority",
+                "position",
+                "attempts",
+                "seq",
+                F.lit(False).alias("ok"),
+                F.lit("HTTP 404 not found").alias("error_msg"),
+                F.lit(None).cast("binary").alias("bytes"),
+                F.lit(None).cast("int").alias("w"),
+                F.lit(None).cast("int").alias("h"),
+                F.lit(None).cast("string").alias("fmt"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("int").alias("fetch_wave"),
+            )
+            results = results.unionByName(missing)
+            rstats = results.agg(
+                F.count("*").alias("n"),
+                F.count_if(F.col("ok")).alias("n_ok"),
+                F.coalesce(F.sum(F.length("bytes")), F.lit(0)).alias("bytes"),
+            ).collect()[0]
+            n_ok, total_bytes = int(rstats["n_ok"]), int(rstats["bytes"])
+            n_bad = int(rstats["n"]) - n_ok
 
         # -- commits ----------------------------------------------------------
-        seq_of = scheduled.select("url_hash", "seq")
-        new_payload = ok.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
-        pv = self.payload_out.commit_append(new_payload) if ok.limit(1).count() else v["payload_out"]
+        ok = results.filter(F.col("ok")) if results is not None else None
+        pv, sv, fv2 = v["payload_out"], v["seen"], v["failures"]
+        if n_ok > 0:
+            new_payload = ok.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+            pv = self.payload_out.commit_append(new_payload, base_version=v["payload_out"])
+            new_seen = ok.select("url_hash", "image_id", F.col("seq").alias("committed_seq"))
+            sv = self.seen.commit_append(new_seen, base_version=v["seen"])
 
-        new_seen = ok.join(seq_of, "url_hash").select(
-            "url_hash", "image_id", F.col("seq").alias("committed_seq")
-        )
-        sv = self.seen.commit_append(new_seen) if ok.limit(1).count() else v["seen"]
+        failed_rows = None
+        if n_bad > 0:
+            failed_rows = (
+                results.filter(~F.col("ok"))
+                .withColumn("error_class", classify_error("error_msg"))
+                .withColumn("attempts_new", F.col("attempts") + 1)
+                .withColumn("retry", should_retry("error_class", "attempts_new"))
+            )
+            new_failures = failed_rows.select(
+                "url_hash",
+                "url",
+                "image_id",
+                "error_class",
+                F.col("attempts_new").alias("attempts"),
+                (~F.col("retry")).alias("permanent"),
+                F.lit(next_seq + n_sched).alias("last_attempt_seq"),
+            )
+            fv2 = self.failures.commit_append(new_failures, base_version=v["failures"])
 
-        failed_rows = (
-            bad.withColumn("error_class", classify_error("error_msg"))
-            .withColumn("attempts_new", F.col("attempts") + 1)
-            .withColumn("retry", should_retry("error_class", "attempts_new"))
-            .localCheckpoint(eager=True)
-        )
-        new_failures = failed_rows.select(
-            "url_hash",
-            "url",
-            "image_id",
-            "error_class",
-            F.col("attempts_new").alias("attempts"),
-            (~F.col("retry")).alias("permanent"),
-            F.lit(next_seq + n_scheduled).alias("last_attempt_seq"),
-        )
-        fv2 = self.failures.commit_append(new_failures) if bad.limit(1).count() else v["failures"]
-
-        trace = scheduled.select(
-            "seq", "url", "url_hash", "image_id", F.lit(batch_id).alias("batch_id")
-        )
-        tv = self.schedule_log.commit_append(trace)
+        tv = v["schedule_log"]
+        if n_sched > 0:
+            trace = scheduled.select(
+                "seq", "url", "url_hash", "image_id", F.lit(batch_id).alias("batch_id")
+            )
+            tv = self.schedule_log.commit_append(trace, base_version=v["schedule_log"])
 
         # -- frontier bucket merge --------------------------------------------
-        done_updates = ok.join(seq_of.select("url_hash"), "url_hash").select(
-            "url", "url_hash", F.lit(None).cast("string").alias("host"),  # host refilled below
-            "image_id", "priority", "position",
-            F.lit("done").alias("status"), F.col("attempts"),
-            F.lit(None).cast("string").alias("error_class"),
-            F.lit(None).cast("timestamp").alias("next_attempt_ts"),
-        )
-        fail_updates = failed_rows.select(
-            "url", "url_hash", F.lit(None).cast("string").alias("host"),
-            "image_id", "priority", "position",
-            F.when(F.col("retry"), "failed").otherwise("permanent").alias("status"),
-            F.col("attempts_new").alias("attempts"),
-            "error_class",
-            F.when(
-                F.col("retry"),
-                now + F.make_dt_interval(secs=backoff_seconds("error_class", "attempts_new")),
-            ).otherwise(F.lit(None).cast("timestamp")).alias("next_attempt_ts"),
-        )
-        blocked_updates = blocked.select(
-            "url", "url_hash", F.lit(None).cast("string").alias("host"),
-            "image_id", "priority", "position",
-            F.lit("robots_blocked").alias("status"), F.col("attempts"),
-            F.lit("robots").alias("error_class"),
-            F.lit(None).cast("timestamp").alias("next_attempt_ts"),
-        )
-        # deduped-away rows (already seen): mark done-by-dedup so they leave
-        # the pending set (reference P2 skip)
-        skipped = batch.join(deduped.select("url_hash"), "url_hash", "left_anti").select(
-            "url", "url_hash", F.lit(None).cast("string").alias("host"),
-            "image_id", "priority", "position",
-            F.lit("skipped_seen").alias("status"), F.col("attempts"),
-            F.lit(None).cast("string").alias("error_class"),
-            F.lit(None).cast("timestamp").alias("next_attempt_ts"),
-        )
-        updates = done_updates.unionByName(fail_updates).unionByName(blocked_updates).unionByName(skipped)
-        # refill host from the frontier row (dropped above to keep one select shape)
-        updates = updates.drop("host").join(
-            frontier.select("url_hash", "host").dropDuplicates(["url_hash"]), "url_hash", "left"
-        ).select(*[f.name for f in schemas.FRONTIER_SCHEMA.fields])
-
+        null_str = F.lit(None).cast("string")
+        null_ts = F.lit(None).cast("timestamp")
+        parts = []
+        if n_ok > 0:
+            parts.append(
+                ok.select(
+                    "url", "url_hash", "host", "image_id", "priority", "position",
+                    F.lit("done").alias("status"), F.col("attempts"),
+                    null_str.alias("error_class"), null_ts.alias("next_attempt_ts"),
+                )
+            )
+        if n_bad > 0:
+            parts.append(
+                failed_rows.select(
+                    "url", "url_hash", "host", "image_id", "priority", "position",
+                    F.when(F.col("retry"), "failed").otherwise("permanent").alias("status"),
+                    F.col("attempts_new").alias("attempts"),
+                    F.col("error_class"),
+                    F.when(
+                        F.col("retry"),
+                        now
+                        + F.make_dt_interval(
+                            secs=backoff_seconds("error_class", "attempts_new")
+                        ),
+                    ).otherwise(null_ts).alias("next_attempt_ts"),
+                )
+            )
+        if n_blocked > 0:
+            parts.append(
+                batch.filter(~F.col("is_seen") & F.col("blocked")).select(
+                    "url", "url_hash", "host", "image_id", "priority", "position",
+                    F.lit("robots_blocked").alias("status"), F.col("attempts"),
+                    F.lit("robots").alias("error_class"), null_ts.alias("next_attempt_ts"),
+                )
+            )
+        if n_skipped > 0:
+            # already-seen rows leave the pending set (reference P2 skip)
+            parts.append(
+                batch.filter(F.col("is_seen")).select(
+                    "url", "url_hash", "host", "image_id", "priority", "position",
+                    F.lit("skipped_seen").alias("status"), F.col("attempts"),
+                    null_str.alias("error_class"), null_ts.alias("next_attempt_ts"),
+                )
+            )
+        updates = parts[0]
+        for p in parts[1:]:
+            updates = updates.unionByName(p)
         updates = updates.withColumn("bucket", _bucket(F.col("priority")))
-        touched = [r["bucket"] for r in updates.select("bucket").distinct().collect()]
         old_buckets = frontier.withColumn("bucket", _bucket(F.col("priority"))).filter(
             F.col("bucket").isin(touched)
         )
         merged_buckets = old_buckets.join(
-            updates.select("url_hash").distinct(), "url_hash", "left_anti"
+            F.broadcast(updates.select("url_hash").distinct()), "url_hash", "left_anti"
         ).unionByName(updates)
-        nfv = self.frontier.commit_merge_buckets(merged_buckets, "bucket", touched)
+        nfv = self.frontier.commit_merge_buckets(
+            merged_buckets, "bucket", touched, base_version=v["frontier"]
+        )
 
         stats = {
             "batch_id": batch_id,
-            "scheduled": n_scheduled,
-            "dedup_skipped": n_scheduled_raw - deduped.count(),
-            "robots_blocked": blocked.count(),
-            "fetched_ok": ok.count(),
-            "failed": bad.count(),
-            "bytes": ok.agg(F.sum(F.length("bytes"))).collect()[0][0] or 0,
+            "scheduled": n_sched,
+            "dedup_skipped": n_skipped,
+            "robots_blocked": n_blocked,
+            "fetched_ok": n_ok,
+            "failed": n_bad,
+            "bytes": total_bytes,
         }
-        mrows = [
-            (batch_id, k, float(val)) for k, val in stats.items() if k != "batch_id"
-        ]
-        mv = self.metrics.commit_append(
-            spark.createDataFrame(mrows, schema=schemas.METRICS_SCHEMA)
-        )
-
         self.checkpoints.commit(
             batch_id,
             {
@@ -308,11 +388,12 @@ class CrawlEngine:
                     "failures": fv2,
                     "payload_out": pv,
                     "schedule_log": tv,
-                    "metrics": mv,
                     "robots": v["robots"],
                 },
-                "next_seq": next_seq + n_scheduled,
+                "next_seq": next_seq + n_sched,
                 "logical_s": logical_s,
+                "seen_count": seen_count + n_ok,
+                "stats": stats,
             },
         )
         return stats
@@ -369,3 +450,20 @@ class CrawlEngine:
     def failure_state(self, spark: SparkSession) -> DataFrame | None:
         """Latest failure record per url (merge-on-read upsert log)."""
         return self.failures.read_upsert_log(spark, key="url_hash", order_col="last_attempt_seq")
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        """Per-batch counters as a DataFrame (SURVEY §2.4 A1-A7). Metrics
+        ride in the checkpoint JSONs (driver-side scalars — no per-batch
+        write job); this materializes them on demand."""
+        rows = []
+        for ck in self.checkpoints.all():
+            st = ck.get("stats")
+            if not st:
+                continue
+            for k, val in st.items():
+                if k == "batch_id":
+                    continue
+                rows.append((int(st["batch_id"]), k, float(val)))
+        if not rows:
+            return None
+        return spark.createDataFrame(rows, schema=schemas.METRICS_SCHEMA)

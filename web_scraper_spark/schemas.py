@@ -121,15 +121,18 @@ FAULT_PLAN_SCHEMA = T.StructType(
     ]
 )
 
-# Result of the fetch+validate stage (before commit).
+# Result of the fetch+validate stage (before commit). ``host`` rides along
+# so frontier updates never need a join back to the frontier table.
 FETCH_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
         T.StructField("image_id", T.StringType(), True),
         T.StructField("priority", T.IntegerType(), False),
         T.StructField("position", T.IntegerType(), False),
         T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("error_msg", T.StringType(), True),
         T.StructField("bytes", T.BinaryType(), True),

@@ -101,8 +101,16 @@ class SnapshotTable:
     def commit_overwrite(self, df: DataFrame) -> int:
         return self._commit_manifest([{"path": self._write_group(df), "bucket": None}])
 
-    def commit_append(self, df: DataFrame) -> int:
-        entries = list(self._manifest(self.latest_version())["entries"])
+    def commit_append(self, df: DataFrame, base_version: int | None = None) -> int:
+        """Append a file group on top of ``base_version`` (default: latest).
+
+        Callers that coordinate multiple tables through a checkpoint MUST
+        pass their checkpointed version: after a crash mid-batch the table's
+        ``latest`` may be an orphan commit no checkpoint references, and
+        appending on top of it would resurrect the orphan's rows.
+        """
+        base = self.latest_version() if base_version is None else base_version
+        entries = list(self._manifest(base)["entries"])
         entries.append({"path": self._write_group(df), "bucket": None})
         return self._commit_manifest(entries)
 
@@ -124,15 +132,18 @@ class SnapshotTable:
         return self._commit_manifest(self._write_bucketed(df, bucket_col))
 
     def commit_merge_buckets(
-        self, df: DataFrame, bucket_col: str, bucket_values: list
+        self, df: DataFrame, bucket_col: str, bucket_values: list, base_version: int | None = None
     ) -> int:
         """Replace the named buckets; re-reference every other file group
         untouched (Iceberg manifest reuse — O(batch) write cost, not
         O(table)). ``df`` must contain exactly the new contents of those
         buckets, including ``bucket_col``. The previous snapshot must be
         bucketed (commit_overwrite_bucketed) — a bucket-less file group
-        would silently duplicate rows, so it is an error."""
-        prev = self._manifest(self.latest_version())["entries"]
+        would silently duplicate rows, so it is an error. Pass the
+        checkpointed ``base_version`` when coordinating via a checkpoint
+        (see commit_append)."""
+        base = self.latest_version() if base_version is None else base_version
+        prev = self._manifest(base)["entries"]
         if any(e["bucket"] is None for e in prev):
             raise ValueError(
                 f"{self.name}: merge requires a bucketed snapshot; "
@@ -182,13 +193,23 @@ class CheckpointLog:
         os.makedirs(self.dir, exist_ok=True)
 
     def latest(self) -> dict | None:
-        ids = sorted(
-            int(f[3:-5]) for f in os.listdir(self.dir) if f.startswith("ck_") and f.endswith(".json")
-        )
+        ids = self._ids()
         if not ids:
             return None
         with open(os.path.join(self.dir, f"ck_{ids[-1]:09d}.json")) as f:
             return json.load(f)
+
+    def all(self) -> list[dict]:
+        out = []
+        for i in self._ids():
+            with open(os.path.join(self.dir, f"ck_{i:09d}.json")) as f:
+                out.append(json.load(f))
+        return out
+
+    def _ids(self) -> list[int]:
+        return sorted(
+            int(f[3:-5]) for f in os.listdir(self.dir) if f.startswith("ck_") and f.endswith(".json")
+        )
 
     def commit(self, batch_id: int, state: dict) -> None:
         path = os.path.join(self.dir, f"ck_{batch_id:09d}.json")

@@ -52,8 +52,16 @@ FAULT_MESSAGES = {
 
 
 def join_payload_store(batch: DataFrame, payload: DataFrame) -> DataFrame:
-    """Attach origin bytes to the batch — the sandbox 'HTTP GET'. A left
-    join: frontier URLs with no payload row behave as 404s."""
+    """Attach origin bytes to the batch — the sandbox 'HTTP GET'.
+
+    Scale shape: the payload table is the 100 TB side and the micro-batch is
+    bounded, so the join broadcasts the batch and never shuffles the payload.
+    An outer join can't broadcast its preserved side, so this is an INNER
+    join — batch rows with no payload row simply produce no result row, and
+    the engine synthesizes their 404s afterwards via a bounded anti-join of
+    scheduled-minus-fetched (plans/crawl.py), keeping the at-scale plan:
+    one pruned payload scan probed by a broadcast hash table.
+    """
     p = payload.select(
         F.col("image_id"),
         F.col("bytes").alias("origin_bytes"),
@@ -61,7 +69,9 @@ def join_payload_store(batch: DataFrame, payload: DataFrame) -> DataFrame:
         F.col("caption").alias("origin_caption"),
         F.col("phash").alias("origin_phash"),
     )
-    return batch.join(p, "image_id", "left")
+    return p.join(F.broadcast(batch), "image_id", "inner").select(
+        *batch.columns, "origin_bytes", "origin_fmt", "origin_caption", "origin_phash"
+    )
 
 
 def fetch_and_validate(
@@ -70,9 +80,10 @@ def fetch_and_validate(
     verify_phash: bool = True,
 ) -> DataFrame:
     """Run the fetch+validate pass. Input must carry: url, url_hash,
-    image_id, priority, position, attempts, host, fetch_wave, host_rank,
-    crawl_delay_ms (nullable), origin_* columns. Output: FETCH_RESULT rows.
-    """
+    image_id, priority, position, attempts, seq, host, fetch_wave,
+    host_rank, crawl_delay_ms (nullable), origin_* columns. Output:
+    FETCH_RESULT rows (host and seq ride through so commits never join
+    back to the frontier)."""
 
     def _fetch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         faults = fault_plan_bc.value if fault_plan_bc is not None else {}
@@ -114,10 +125,12 @@ def fetch_and_validate(
                 {
                     "url": pdf["url"].to_numpy(),
                     "url_hash": pdf["url_hash"].to_numpy(),
+                    "host": pdf["host"].to_numpy(),
                     "image_id": pdf["image_id"].to_numpy(),
                     "priority": pdf["priority"].to_numpy(),
                     "position": pdf["position"].to_numpy(),
                     "attempts": pdf["attempts"].to_numpy(),
+                    "seq": pdf["seq"].to_numpy(),
                     "ok": ok.to_numpy(),
                     "error_msg": pd.Series(err, dtype=object),
                     "bytes": pd.Series([blobs[i] if ok.iloc[i] else None for i in range(n)], dtype=object),
