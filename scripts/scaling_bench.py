@@ -1,0 +1,114 @@
+"""Two-parallelism scaling evidence for the north rule (efficiency ≥0.8
+from N to 4N executors).
+
+No real cluster exists in this sandbox, so the same frontier job runs at
+local[N] and local[4N] in SEPARATE processes (a SparkSession is cached per
+process) on the same input, and we report throughput at both plus
+
+    efficiency = (rate_4N / rate_N) / 4
+
+Usage:  python scripts/scaling_bench.py [--n 4] [--rows 4000000]
+Child:  python scripts/scaling_bench.py --child <cpus> <rows>
+Emits one JSON line; append the table to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cpus: int, rows: int) -> None:
+    from bench import fetch_validate_throughput, frontier_throughput
+    from web_scraper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"wss-scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    frontier_throughput(spark, max(rows // 10, 24))  # warm plan + JIT + workers
+    fr = frontier_throughput(spark, rows)
+    fetch_validate_throughput(spark, n_images=2_000)  # warm
+    fetch_rate, _ = fetch_validate_throughput(spark, n_images=20_000)
+    print(
+        "CHILD_RESULT "
+        + json.dumps({"cpus": cpus, **fr, "fetch_images_per_sec": round(fetch_rate, 1)})
+    )
+
+
+def run_child(cpus: int, rows: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(rows)],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"no result from child:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    # default N=4 → 4N=16: this sandbox exposes 32 vCPUs but only ~16
+    # physical cores (measured: 32 concurrent numpy workers run at ~0.6×
+    # per-core speed, 16 run at ~0.97×), so 8→32 would measure SMT
+    # contention, not engine scaling. 4→16 stays within physical cores.
+    n = 4
+    rows = 4_000_000
+    if "--n" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n") + 1])
+    if "--rows" in sys.argv:
+        rows = int(sys.argv[sys.argv.index("--rows") + 1])
+    rounds = 3
+    if "--rounds" in sys.argv:
+        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
+    # The sandbox shares a noisy host: identical configs vary several-fold
+    # across minutes. Alternate N / 4N runs and take each config's BEST
+    # round — noise bursts only ever slow a run down, so min-time is the
+    # closest observable to the machine's true capability.
+    lo = hi = None
+    for _ in range(rounds):
+        a = run_child(n, rows)
+        b = run_child(4 * n, rows)
+        if lo is None or a["urls_per_sec"] > lo["urls_per_sec"]:
+            lo = {**lo, **a} if lo else a
+        if lo["fetch_images_per_sec"] < a["fetch_images_per_sec"]:
+            lo["fetch_images_per_sec"] = a["fetch_images_per_sec"]
+        if hi is None or b["urls_per_sec"] > hi["urls_per_sec"]:
+            hi = {**hi, **b} if hi else b
+        if hi["fetch_images_per_sec"] < b["fetch_images_per_sec"]:
+            hi["fetch_images_per_sec"] = b["fetch_images_per_sec"]
+    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+    fetch_eff = (hi["fetch_images_per_sec"] / lo["fetch_images_per_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "rows": rows,
+                "rounds": rounds,
+                "n_cores": n,
+                "n4_cores": 4 * n,
+                "urls_per_sec_n": lo["urls_per_sec"],
+                "urls_per_sec_4n": hi["urls_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "fetch_images_per_sec_n": lo["fetch_images_per_sec"],
+                "fetch_images_per_sec_4n": hi["fetch_images_per_sec"],
+                "fetch_scaling_efficiency": round(fetch_eff, 3),
+                "detail": {"n": lo, "4n": hi},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

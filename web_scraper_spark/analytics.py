@@ -1,0 +1,740 @@
+"""Operator-parity queries over the driver testdata tables.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (the crawl
+engine's building blocks) or a large-scale training-data-pipeline operation
+(dedup / similarity / text analysis) as a standalone DataFrame query over
+the TPC-H-ish tables in ``sf_dir``, paired with an ANSI/DuckDB oracle SQL
+string in ``ORACLES`` for the driver's correctness gate.
+
+Conventions:
+  * every computed column is aliased identically in Spark and SQL;
+  * float aggregates are rounded on BOTH sides (value-hash compare);
+  * math that feeds a comparison runs in double precision on both sides.
+
+Scale notes ride on each query: these run at sf0.01 for correctness, but
+the plan shapes (broadcast sides, shuffle keys, window partitioners) are
+chosen for the 100 TB / 10^10-row versions of the same tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.errors import backoff_seconds, should_retry
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Crawl-operator parity (SURVEY §2.2-2.5, §2.9)
+# =====================================================================
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (ST2/ST3 + salted repartition): events as a
+    frontier, user_id as host. Per-host rank in time order → fetch wave
+    (per_host_parallelism=3) → deterministic salt (wave % 8).
+
+    Scale: one shuffle on the host key; the wave/salt columns are what the
+    fetch stage partitions by, so a hot host spreads over 8 partitions
+    while intra-wave pacing stays enforceable (operators/politeness.py).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w) - 1).alias("host_rank"),
+    ).withColumns(
+        {
+            "fetch_wave": (F.col("host_rank") / 3).cast("int"),
+            "salt": F.pmod((F.col("host_rank") / 3).cast("int"), F.lit(8)).cast("int"),
+        }
+    )
+
+
+def q_ranked_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-ranked micro-batch (W2 / operators/frontier.take_batch):
+    newest-first global order, top 100 with their seq.
+
+    Scale: a global top-K never global-sorts — Spark's sort+limit does
+    per-partition top-K then merges K·P rows (TakeOrderedAndProject)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+    return (
+        ev.select("event_id", "ts", F.row_number().over(w).alias("seq"))
+        .filter(F.col("seq") <= 100)
+    )
+
+
+def q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set dedup (J1/P2): orders with no lineitem = frontier rows not
+    yet fetched. Scale: left-anti on the key, bloom-prefiltered at 10^10
+    (operators/dedup.py); here Catalyst picks broadcast/SMJ via AQE."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_top1_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-variant selection (W1, reference video_info_extractor.py:
+    1489-1553): top-1 lineitem per order by price, deterministic tiebreak.
+    Scale: one shuffle on the key; AQE splits skewed keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata merge (J2, listing ⟕ detail with blank-override): orders ⟕
+    customer, missing names defaulted. Scale: customer is the dimension →
+    broadcast; fact table never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("unknown")).alias("cust_name"),
+        "o_totalprice",
+    )
+
+
+def q_reconcile_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State reconciliation (J5, progress ⟗ folder-scan): customers seen in
+    finished ('F') vs open ('O') orders, classified both/left/right.
+    Scale: both sides pre-aggregated to distinct keys before the join."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).distinct()
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    joined = f.withColumn("in_f", F.lit(1)).join(
+        op.withColumn("in_o", F.lit(1)), "k", "full_outer"
+    )
+    cat = (
+        F.when(F.col("in_f").isNotNull() & F.col("in_o").isNotNull(), "both")
+        .when(F.col("in_f").isNotNull(), "f_only")
+        .otherwise("o_only")
+    )
+    return joined.groupBy(cat.alias("category")).agg(F.count("*").alias("n"))
+
+
+def q_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SO4, jpg∩json∩mp4 folder audit): customers that both placed
+    a big order and hold a positive balance."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    ).distinct()
+    return big.intersect(pos)
+
+
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run statistics (A2/A3/A5/A7): per-event-type counters — the Spark
+    form of the reference's per-page/global stats dicts. Partial (map-side)
+    aggregation is free; one shuffle on the group key."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def q_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field validators (P5/P8 as boolean columns): metadata-vs-content
+    consistency checks on documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.length("text") == F.col("n_chars")).alias("len_ok"),
+        (F.col("n_chars") >= 100).alias("min_len_ok"),
+        F.col("lang").isin("en", "de", "fr", "es", "zh").alias("lang_ok"),
+    )
+
+
+def q_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry budget + exponential backoff as columns (F12/F13, reference
+    video_processor.py:94-112,237-255): error events classified by value
+    band, attempts derived deterministically."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    cls = (
+        F.when(F.col("value") < 5, "network")
+        .when(F.col("value") < 10, "rate_limit")
+        .otherwise("temporary")
+    )
+    attempts = F.pmod(F.col("event_id"), F.lit(10)).cast("int")
+    return ev.select(
+        "event_id",
+        cls.alias("error_class"),
+        attempts.alias("attempts"),
+        should_retry(cls, attempts).alias("retry"),
+        F.round(backoff_seconds(cls, attempts), 2).alias("backoff_s"),
+    )
+
+
+def q_storage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global storage-limit gate (P9/A1): one full-table aggregate, the
+    micro-batch admission check. Scale: partial agg → single tiny row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+def q_recent_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped dedup window (W4/P4, reference new/duplicate_detection.py:
+    109-136): first event per (user, type) in time order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+# =====================================================================
+# Training-data pipeline: deduplication
+# =====================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): canonical doc per identical text.
+
+    Scale: group on xxhash64(text) first so the shuffle moves 8-byte keys,
+    not document bodies; the full text only breaks hash collisions. Here
+    the text column is small enough to group directly — the oracle-visible
+    result (min doc_id per text group) is identical either way."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.xxhash64("text").alias("h"), "text")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+        .select("canonical_id", "n_dups")
+    )
+
+
+def _shingle_df(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — one row per DISTINCT word n-gram per document.
+
+    The token array is materialized as a column BEFORE the n-gram lambda:
+    inlining split() into each element_at would re-split the text once per
+    gram per position (~3·len re-splits per row — measured 30× slower).
+    Documents shorter than n tokens produce no shingles (matches the
+    oracle's range() semantics; also keeps element_at in bounds under ANSI
+    mode). The result is persisted — every caller fans out into several
+    join branches and must not recompute the explode per branch."""
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)])
+    )
+    empty = F.array().cast("array<string>")
+    shingles = F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(empty)
+    return toks.select("doc_id", F.explode(shingles).alias("shingle")).persist()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (n-gram dedup).
+
+    Plan: explode distinct shingles → self-equi-join on shingle → count
+    common per pair → Jaccard from set sizes. Scale: the shingle join
+    shuffles on the shingle hash; stop-shingle removal / document frequency
+    capping bounds the hottest keys, and the pair aggregation is a second
+    bounded shuffle. (MinHash below is the at-scale fast path; this is the
+    exact ground truth.)"""
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingle_df(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select(
+            "doc_a", "doc_b", "n_common", "size_a", "size_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding, verified by exact Jaccard.
+
+    Pipeline (SURVEY §2.10-style vectorized UDF + relational ops):
+      1. 64 minhash values per doc from shingle xxhash64s — one pandas UDF,
+         numpy (perms × shingles) min-reduce per Arrow batch;
+      2. band into 16 bands × 4 rows; explode (band, band_sig);
+      3. docs sharing a band signature → candidate pairs (groupBy + join);
+      4. exact-Jaccard verification of candidates only.
+    Scale: candidates ≪ n², so step 4's shingle join runs on a tiny slice;
+    band-bucket hot keys are bounded by band width. Verification makes the
+    result exact (equals q_dedup_ngram_jaccard) as long as LSH recall at
+    the 0.8 threshold holds — with 16×4 bands P(miss|j=0.8) < 1e-3 and the
+    planted dups sit at j≥0.9 where recall is ~1."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    N_PERM, N_BANDS = 64, 16
+    R = N_PERM // N_BANDS
+    MERSENNE = (1 << 61) - 1
+    rng = np.random.RandomState(42)
+    A = rng.randint(1, MERSENNE, size=N_PERM, dtype=np.int64)
+    B = rng.randint(0, MERSENNE, size=N_PERM, dtype=np.int64)
+
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingle_df(d)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    def _minhash(hs):
+        # input: Series of per-doc shingle-hash lists (collect_list output,
+        # bounded by distinct shingles per doc); numpy batch min-reduce
+        out = []
+        for arr in hs:
+            x = np.asarray(arr, dtype=np.uint64)
+            # (n_perm, n_shingles) universal hashing mod Mersenne prime
+            v = (
+                x[None, :] * A.astype(np.uint64)[:, None]
+                + B.astype(np.uint64)[:, None]
+            ) % np.uint64(MERSENNE)
+            out.append(v.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    # registered without annotations: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf can't infer from
+    minhash = F.pandas_udf(_minhash, T.ArrayType(T.LongType()))
+
+    sigs = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs")).select(
+        "doc_id", minhash("hs").alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", i * R + 1, R), lambda x: x.cast("string")
+                            ),
+                        )
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bsig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the candidate slice only
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select(
+            "doc_a", "doc_b", "n_common", "size_a", "size_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token-hash bit-vote) — pure column
+    expressions: explode tokens → xxhash64 → per-bit ±1 votes → sign bits
+    reassembled. Scale: one shuffle on doc_id; no UDF at all.
+    (No SQL oracle: hash function is Spark-specific → rows-only check.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total.bitwiseOR(t)
+    return votes.select("doc_id", total.alias("simhash"))
+
+
+# =====================================================================
+# Training-data pipeline: similarity search
+# =====================================================================
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+
+    Pure column expressions: zip_with product + aggregate sum in DOUBLE
+    (both sides of the oracle compute in double). Scale path: broadcast
+    the query block, one pass over the corpus, per-partition top-k then
+    global top-k — no n² shuffle. An IVF/LSH variant prunes the scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    # norms are materialized per side BEFORE the cross join — recomputing
+    # the query norm per (q, neighbor) pair would redo O(dim) work n times
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), dbl("embedding").alias("qe")
+    ).withColumn("qn", norm(F.col("qe")))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), dbl("embedding").alias("ce")
+    ).withColumn("cn", norm(F.col("ce")))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos"))
+    )
+
+
+# =====================================================================
+# Training-data pipeline: text analysis
+# =====================================================================
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring per document (whitespace tokens,
+    distinct ratio, stopword ratio, quality flag) — all column exprs."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")  # materialized once; inlining split() would re-split per use
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_distinct"),
+        stop.alias("n_stopwords"),
+        F.round(stop / n, 4).alias("stopword_ratio"),
+        ((n >= 20) & (n <= 1000) & (stop / n < 0.5)).alias("quality_ok"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by language: doc counts, char volume, source spread
+    (A4-style census over the documents table)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: xxhash64 over full text + first-8-token prefix
+    hash (rolling-hash family). Rows-only check (Spark-specific hash)."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("fingerprint"),
+        F.xxhash64(prefix).alias("prefix_fingerprint"),
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (image payloads; deterministic datagen, no sf dep)
+# =====================================================================
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction over binary payload columns via
+    mapInPandas (SURVEY §2.10 UDF #5): decode → dims/phash → per-format
+    stats. Uses the engine's deterministic synthetic payload (the testdata
+    star schema carries no binary column). Rows-only check."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from . import datagen, schemas
+    from .functions.imaging import decode_validate_batch
+
+    pdf = datagen.gen_payload_pdf(120)
+    payload = spark.createDataFrame(pdf, schema=schemas.PAYLOAD_SCHEMA)
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in it:
+            if p.empty:
+                continue
+            val = decode_validate_batch(p["bytes"].map(bytes), p["fmt"], p["phash"])
+            yield pd.DataFrame(
+                {
+                    "image_id": p["image_id"].to_numpy(),
+                    "fmt": p["fmt"].to_numpy(),
+                    "ok": val["ok"].to_numpy(),
+                    "w": val["w"].to_numpy(),
+                    "h": val["h"].to_numpy(),
+                    "phash": val["phash"].to_numpy(),
+                }
+            )
+
+    decoded = payload.mapInPandas(_decode, schema=out_schema)
+    return decoded.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("ok")).alias("n_ok"),
+        F.round(F.avg("w"), 2).alias("avg_w"),
+        F.round(F.avg("h"), 2).alias("avg_h"),
+        F.countDistinct("phash").alias("distinct_phash"),
+    )
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES = {
+    "frontier_schedule": q_frontier_schedule,
+    "ranked_microbatch": q_ranked_microbatch,
+    "anti_join_seen": q_anti_join_seen,
+    "top1_per_key": q_top1_per_key,
+    "left_join_coalesce": q_left_join_coalesce,
+    "reconcile_full_outer": q_reconcile_full_outer,
+    "set_intersection": q_set_intersection,
+    "group_stats": q_group_stats,
+    "validators": q_validators,
+    "retry_policy": q_retry_policy,
+    "storage_gate": q_storage_gate,
+    "recent_window_dedup": q_recent_window_dedup,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "text_stats": q_text_stats,
+    "corpus_stats": q_corpus_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "image_decode_stats": q_image_decode_stats,
+}
+
+_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
+"""
+
+ORACLES = {
+    "frontier_schedule": """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS host_rank,
+       CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 3) AS INT) AS fetch_wave,
+       CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 3) AS INT) % 8 AS salt
+FROM events
+""",
+    "ranked_microbatch": """
+SELECT event_id, ts, CAST(seq AS INT) AS seq FROM (
+  SELECT event_id, ts, row_number() OVER (ORDER BY ts DESC, event_id) AS seq
+  FROM events
+) WHERE seq <= 100
+""",
+    "anti_join_seen": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+    "top1_per_key": """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+    "left_join_coalesce": """
+SELECT o_orderkey, coalesce(c_name, 'unknown') AS cust_name, o_totalprice
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    "reconcile_full_outer": """
+WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+SELECT CASE WHEN f.k IS NOT NULL AND o.k IS NOT NULL THEN 'both'
+            WHEN f.k IS NOT NULL THEN 'f_only' ELSE 'o_only' END AS category,
+       count(*) AS n
+FROM f FULL OUTER JOIN o ON f.k = o.k
+GROUP BY 1
+""",
+    "set_intersection": """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 50000
+INTERSECT
+SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+""",
+    "group_stats": """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value, max(ts) AS max_ts
+FROM events GROUP BY event_type
+""",
+    "validators": """
+SELECT doc_id, length(text) = n_chars AS len_ok, n_chars >= 100 AS min_len_ok,
+       lang IN ('en','de','fr','es','zh') AS lang_ok
+FROM documents
+""",
+    "retry_policy": """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN value < 5 THEN 'network'
+              WHEN value < 10 THEN 'rate_limit' ELSE 'temporary' END AS error_class,
+         CAST(event_id % 10 AS INT) AS attempts
+  FROM events WHERE event_type = 'error'
+)
+SELECT event_id, error_class, attempts,
+       attempts < CASE error_class WHEN 'network' THEN 8 WHEN 'rate_limit' THEN 6
+                                   ELSE 4 END AS retry,
+       round(least(300.0, CASE error_class WHEN 'network' THEN 5.0
+                                           WHEN 'rate_limit' THEN 30.0
+                                           ELSE 10.0 END * power(2.0, attempts)), 2)
+         AS backoff_s
+FROM e
+""",
+    "storage_gate": """
+SELECT count(*) AS n_rows, round(sum(l_quantity), 1) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+""",
+    "recent_window_dedup": """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    "dedup_exact": """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY text
+""",
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "embedding_topk": """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings WHERE vec_id <> q_id
+),
+r AS (SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT q_id, neighbor_id, CAST(rk AS INT) AS rank, round(cos, 5) AS cos
+FROM r WHERE rk <= 5
+""",
+    "text_stats": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS INT) AS n_stopwords,
+       round(len(list_filter(toks, x -> x = 'a' OR x = 'the')) * 1.0 / len(toks), 4)
+         AS stopword_ratio,
+       len(toks) >= 20 AND len(toks) <= 1000
+         AND len(list_filter(toks, x -> x = 'a' OR x = 'the')) * 1.0 / len(toks) < 0.5
+         AS quality_ok
+FROM t
+""",
+    "corpus_stats": """
+SELECT lang, count(*) AS docs, sum(n_chars) AS total_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+""",
+    # simhash / doc_fingerprint / image_decode_stats: Spark-hash or binary
+    # payload based → rows-only checks (no portable SQL equivalent).
+}

@@ -33,10 +33,43 @@ def order_cols() -> list:
 
 
 def rank_frontier(frontier: DataFrame) -> DataFrame:
-    """Attach ``seq`` — the global crawl order. Full sort: use only on
-    bounded slices (see take_batch) or in the correctness harness."""
+    """Attach ``seq`` — the global crawl order. Single-reducer window:
+    use only on bounded slices (micro-batches) or in tests; for
+    frontier-scale ranking use :func:`rank_frontier_scalable`."""
     w = Window.orderBy(*order_cols())
     return frontier.withColumn("seq", F.row_number().over(w))
+
+
+def rank_frontier_scalable(frontier: DataFrame) -> DataFrame:
+    """Exact global crawl order WITHOUT a single-reducer sort.
+
+    Two-level ranking: rank within each priority (a parallel window — one
+    partition per priority level), then add per-priority offsets computed
+    from a tiny groupBy-count (distinct priorities only) cumulated on the
+    driver and broadcast back. seq values are identical to rank_frontier's;
+    the serial work drops from O(slice) to O(distinct priorities).
+    """
+    import pandas as pd
+
+    spark = frontier.sparkSession
+    counts = frontier.groupBy("priority").count().toPandas()
+    if counts.empty:
+        return frontier.withColumn("seq", F.lit(None).cast("long"))
+    counts = counts.sort_values("priority", ascending=False).reset_index(drop=True)
+    counts["__offset"] = counts["count"].cumsum().shift(fill_value=0)
+    offsets = spark.createDataFrame(
+        pd.DataFrame(
+            {"priority": counts["priority"], "__offset": counts["__offset"].astype("int64")}
+        )
+    )
+    w = Window.partitionBy("priority").orderBy(
+        F.col("position").asc(), F.col("url_hash").asc()
+    )
+    return (
+        frontier.join(F.broadcast(offsets), "priority")
+        .withColumn("seq", (F.col("__offset") + F.row_number().over(w)).cast("long"))
+        .drop("__offset")
+    )
 
 
 def eligible(frontier: DataFrame, logical_now: F.Column | None = None) -> DataFrame:
@@ -55,36 +88,56 @@ def eligible(frontier: DataFrame, logical_now: F.Column | None = None) -> DataFr
 def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
     """The next micro-batch: top ``batch_size`` rows in crawl order.
 
-    Two-phase to avoid a global sort: a cutoff on ``priority`` bounds the
-    slice that gets ranked. The rank itself is a single-reducer window over
-    ≤ (batch_size + one priority level) rows — bounded, not frontier-sized.
+    One aggregation pass over the eligible frontier (per-priority counts —
+    rows proportional to DISTINCT priorities, not frontier size) feeds
+    both phases on the driver:
+
+      1. cutoff: the smallest priority p with count(priority >= p) >=
+         batch_size bounds the slice that gets ranked;
+      2. offsets: cumulated counts give each priority its global seq base,
+         so ranking is a parallel per-priority window + broadcast-joined
+         offset — exact global order with no single-reducer sort.
     """
-    # Phase 1: find the smallest priority p such that count(priority >= p)
-    # >= batch_size — an aggregate over the (small) distinct priority set.
-    pri_counts = (
-        frontier.groupBy("priority")
-        .count()
-        .withColumn(
-            "running",
-            F.sum("count").over(
-                Window.orderBy(F.col("priority").desc()).rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
+    spark = frontier.sparkSession
+    # distinct-priority counts with a running total. The window is a
+    # single reducer, but over DISTINCT priorities only (frontier_rows /
+    # items_per_priority); at 10^10 frontier scale this would become a
+    # two-level cutoff (bucket priorities into ranges first) — the rest of
+    # the algorithm is unchanged.
+    pri_counts = frontier.groupBy("priority").count()
+    run = pri_counts.withColumn(
+        "running",
+        F.sum("count").over(
+            Window.orderBy(F.col("priority").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
     )
-    cutoff_row = (
-        pri_counts.filter(F.col("running") >= batch_size)
-        .orderBy(F.col("priority").desc())
-        .select("priority")
-        .limit(1)
+    # priorities that contribute rows to the batch: running total BEFORE
+    # them is still under batch_size. Bounded by batch_size rows → small
+    # collect, regardless of how many distinct priorities exist.
+    contributing = (
+        run.filter(F.col("running") - F.col("count") < batch_size)
+        .select("priority", (F.col("running") - F.col("count")).alias("__offset"))
         .collect()
     )
-    if cutoff_row:
-        cutoff = cutoff_row[0]["priority"]
-        slice_df = frontier.filter(F.col("priority") >= cutoff)
-    else:
-        slice_df = frontier  # fewer rows than batch_size remain
-    # Phase 2: rank the bounded slice, keep the first batch_size.
-    return rank_frontier(slice_df).filter(F.col("seq") <= batch_size)
+    if not contributing:
+        return frontier.withColumn("seq", F.lit(None).cast("long"))
+    cutoff = min(r["priority"] for r in contributing)
+    offsets = spark.createDataFrame(
+        [(r["priority"], int(r["__offset"])) for r in contributing],
+        "priority int, __offset long",
+    )
+    w = Window.partitionBy("priority").orderBy(
+        F.col("position").asc(), F.col("url_hash").asc()
+    )
+    ranked = (
+        frontier.filter(F.col("priority") >= int(cutoff))
+        .join(F.broadcast(offsets), "priority")
+        .withColumn("seq", (F.col("__offset") + F.row_number().over(w)).cast("long"))
+        .drop("__offset")
+    )
+    return ranked.filter(F.col("seq") <= batch_size)
 
 
 def seed_frontier_from_site(site_graph: DataFrame) -> DataFrame:
@@ -93,11 +146,18 @@ def seed_frontier_from_site(site_graph: DataFrame) -> DataFrame:
     last-page-first crawl (main_scraper.py:246-254)."""
     from ..functions.urlnorm import canonicalize_url, url_hash, url_host
 
-    canon = canonicalize_url(F.col("url"))
-    return site_graph.select(
-        canon.alias("url"),
-        url_hash(canon).alias("url_hash"),
-        url_host(canon).alias("host"),
+    # Two projections on purpose: the canonicalization regex chain is
+    # expensive, and inlining it into url/url_hash/host would evaluate it
+    # three times per row (and blow up the codegen method size). With a
+    # materialized alias, CollapseProject keeps it single because the alias
+    # is referenced more than once and the expression is non-cheap.
+    canon = site_graph.select(
+        canonicalize_url(F.col("url")).alias("url"), "image_id", "page", "position"
+    )
+    return canon.select(
+        F.col("url"),
+        url_hash(F.col("url")).alias("url_hash"),
+        url_host(F.col("url")).alias("host"),
         F.col("image_id"),
         F.col("page").cast("int").alias("priority"),
         F.col("position").cast("int").alias("position"),
