@@ -1,0 +1,79 @@
+"""Bloom seen-set properties: no false negatives ever, bounded FPR, and
+incremental maintenance equivalence (north rule: the filter is maintained,
+not rebuilt)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.dedup import (
+    bloom_probe,
+    build_bloom_shards,
+    dedup_against_seen,
+    empty_bloom_shards,
+    exact_anti_join_seen,
+    mark_seen,
+    update_bloom_shards,
+)
+
+
+def _keys(spark, start, n, salt="k"):
+    return spark.range(start, start + n).select(
+        F.xxhash64(F.concat(F.lit(salt), F.col("id"))).alias("url_hash")
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = _keys(spark, 0, 5000)
+    shards = build_bloom_shards(seen, n_shards=8)
+    probed = bloom_probe(seen, shards, n_shards=8)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_fpr_bounded(spark):
+    seen = _keys(spark, 0, 5000)
+    unseen = _keys(spark, 0, 5000, salt="other")
+    shards = build_bloom_shards(seen, n_shards=8, fpr=0.01)
+    probed = bloom_probe(unseen, shards, n_shards=8)
+    fp = probed.filter(F.col("maybe_seen")).count()
+    assert fp / 5000 < 0.05  # target 1%, generous bound
+
+
+def test_incremental_equals_batch_build(spark):
+    """empty + k updates must accept exactly what one full build accepts
+    (same geometry → identical bit patterns)."""
+    a = _keys(spark, 0, 2000)
+    b = _keys(spark, 2000, 2000)
+    inc = update_bloom_shards(
+        update_bloom_shards(empty_bloom_shards(spark, 8, capacity=4000), a, n_shards=8),
+        b,
+        n_shards=8,
+    )
+    both = a.unionByName(b)
+    probed = bloom_probe(both, inc, n_shards=8)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # geometry check: all shards share one (m_bits, k)
+    geom = inc.select("m_bits", "k").distinct().collect()
+    assert len(geom) == 1
+
+
+def test_mark_seen_with_prebuilt_shards_matches_exact(spark):
+    seen = _keys(spark, 0, 3000)
+    batch = _keys(spark, 0, 6000).withColumn("x", F.lit(1))  # half seen
+    shards = update_bloom_shards(
+        empty_bloom_shards(spark, 8, capacity=6000), seen, n_shards=8
+    )
+    flagged = mark_seen(batch, seen, bloom_shards=shards, n_shards=8)
+    exact = exact_anti_join_seen(batch, seen)
+    assert flagged.filter(~F.col("is_seen")).count() == exact.count()
+    assert flagged.filter(F.col("is_seen")).count() == 6000 - exact.count()
+
+
+def test_dedup_against_seen_bloom_equals_exact(spark):
+    seen = _keys(spark, 0, 4000)
+    frontier = _keys(spark, 0, 8000)
+    via_bloom = dedup_against_seen(frontier, seen, use_bloom=True, n_shards=8)
+    via_exact = dedup_against_seen(frontier, seen, use_bloom=False)
+    assert {r["url_hash"] for r in via_bloom.collect()} == {
+        r["url_hash"] for r in via_exact.collect()
+    }

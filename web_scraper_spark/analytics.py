@@ -432,39 +432,69 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides of the oracle compute in double). Scale path: broadcast
     the query block, one pass over the corpus, per-partition top-k then
     global top-k — no n² shuffle. An IVF/LSH variant prunes the scan."""
+    from .operators.similarity import cosine_topk
+
     e = _t(spark, sf_dir, "embeddings")
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    # norms are materialized per side BEFORE the cross join — recomputing
-    # the query norm per (q, neighbor) pair would redo O(dim) work n times
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), dbl("embedding").alias("qe")
-    ).withColumn("qn", norm(F.col("qe")))
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), dbl("embedding").alias("ce")
-    ).withColumn("cn", norm(F.col("ce")))
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    sim = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("cos"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("q_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos"))
-    )
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: multi-table random-hyperplane LSH (4 tables x 6
+    bits; operators/similarity.py). Neighbors are searched among bucket
+    mates only, so the per-query scan shrinks to tables*n/2^bits expected;
+    exact cosine re-ranks the candidate slice. Rows-only check
+    (approximate by construction; recall on planted near-duplicates is
+    asserted in tests/test_multimodal.py)."""
+    from .operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 20), dim=64, k=3)
 
 
 # =====================================================================
 # Training-data pipeline: text analysis
 # =====================================================================
+
+
+#: tiny per-language stopword lexicons for the heuristic language-ID.
+#: The synthetic corpus is English-vocab for every lang label, so accuracy
+#: is not the point — deterministic, SQL-portable prediction is.
+LANG_LEXICON = {
+    "en": ["the", "a"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+    "es": ["el", "y"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification: stopword-hit counts per language,
+    argmax with fixed priority tie-break (en > de > fr > es), compared to
+    the labeled ``lang`` column. All column expressions."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+
+    def _hits(words):
+        # closure factory: a 2-arg lambda would be read as (element, index)
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*words)))
+
+    counts = {lang: _hits(words) for lang, words in LANG_LEXICON.items()}
+    pred = (
+        F.when(
+            (counts["en"] >= counts["de"])
+            & (counts["en"] >= counts["fr"])
+            & (counts["en"] >= counts["es"]),
+            "en",
+        )
+        .when((counts["de"] >= counts["fr"]) & (counts["de"] >= counts["es"]), "de")
+        .when(counts["fr"] >= counts["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        *[counts[lang].alias(f"n_{lang}") for lang in LANG_LEXICON],
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("label_match"),
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,6 +595,19 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (decode → brightness/contrast →
+    full+thumbnail phash) over the synthetic binary payload via one
+    mapInPandas pass (functions/multimodal.py). Rows-only check."""
+    from . import datagen, schemas
+    from .functions.multimodal import image_features
+
+    payload = spark.createDataFrame(
+        datagen.gen_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
+    )
+    return image_features(payload)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -587,10 +630,13 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
+    "embedding_knn_lsh": q_embedding_knn_lsh,
+    "lang_id": q_lang_id,
     "text_stats": q_text_stats,
     "corpus_stats": q_corpus_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "image_decode_stats": q_image_decode_stats,
+    "image_features": q_image_features,
 }
 
 _JACCARD_ORACLE = """
@@ -735,6 +781,26 @@ SELECT lang, count(*) AS docs, sum(n_chars) AS total_chars,
        count(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
 """,
-    # simhash / doc_fingerprint / image_decode_stats: Spark-hash or binary
-    # payload based → rows-only checks (no portable SQL equivalent).
+    "lang_id": """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS INT) AS n_en,
+         CAST(len(list_filter(toks, x -> x = 'der' OR x = 'und')) AS INT) AS n_de,
+         CAST(len(list_filter(toks, x -> x = 'le' OR x = 'et')) AS INT) AS n_fr,
+         CAST(len(list_filter(toks, x -> x = 'el' OR x = 'y')) AS INT) AS n_es
+  FROM t
+)
+SELECT doc_id, n_en, n_de, n_fr, n_es,
+       CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+            WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END AS pred_lang,
+       (CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+             WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+             WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END) = lang AS label_match
+FROM c
+""",
+    # simhash / doc_fingerprint / image_decode_stats / embedding_knn_lsh:
+    # Spark-hash, binary-payload, or approximate-by-construction → rows-only
+    # checks (no portable SQL equivalent).
 }

@@ -207,6 +207,91 @@ def gen_fault_plan_pdf(
     return pd.DataFrame(rows)
 
 
+# ------------------------------------------------------ synthetic HTML
+# Deterministic listing/detail pages mirroring the reference's extraction
+# contracts (html/downloads.txt, html/tags.txt; JSON-LD per
+# new/video_data_parser.py:150-176) so the parse operators (functions/
+# extraction.py) run against realistic markup with known ground truth.
+
+
+def listing_html_for(page: int, n_pages: int, videos_per_page: int = 24, seed: int = DEFAULT_SEED) -> str:
+    items = []
+    for pos in range(videos_per_page):
+        i = (page - 1) * videos_per_page + pos
+        items.append(f'<div class="item"><a href="{detail_url_for(i, seed)}">v{i}</a></div>')
+    nav = f'<a href="https://{HOT_HOST}/latest-updates/{n_pages}/">Last</a>'
+    return f"<html><body>{''.join(items)}<div class='pagination'>{nav}</div></body></html>"
+
+
+def detail_html_for(i: int, seed: int = DEFAULT_SEED) -> str:
+    import json as _json
+
+    u = _stable_u64(f"detail:{seed}:{i}")
+    caption = caption_for(i, seed)
+    title = caption.split(" | ")[0]
+    tags = caption.split("tags: ")[1].split(", ")
+    mins, secs = 1 + u % 20, u % 60
+    views = (u % 900_000) + 100
+    ld = _json.dumps(
+        {
+            "@type": "VideoObject",
+            "name": title,
+            "description": f"desc {i}",
+            "duration": f"PT{mins}M{secs}S",
+            "uploadDate": f"202{u % 5}-0{1 + u % 9}-1{u % 9}",
+            "contentUrl": f"https://cdn.example.test/file/{image_id_for(i)}.mp4",
+            "thumbnailUrl": f"https://cdn.example.test/thumb/{image_id_for(i)}.jpg",
+        }
+    )
+    tag_html = "".join(f'<a class="tag_item" href="#">{t}</a>' for t in tags)
+    variants = "".join(
+        f'<a class="download_link" href="https://cdn.example.test/dl/{image_id_for(i)}_{q}.mp4">MP4 {q}</a>'
+        for q in ("2160p", "1080p", "720p", "480p")
+    )
+    player = (
+        "var playerConfig = {file: '"
+        f"https://cdn.example.test/file/{image_id_for(i)}.mp4"
+        "', poster: '"
+        f"https://cdn.example.test/thumb/{image_id_for(i)}.jpg"
+        f"', quality: {1080 if u % 2 else 720},"
+        " };"
+    )
+    return (
+        "<html><head>"
+        f"<title>{title}</title>"
+        f'<meta property="og:title" content="{title}"/>'
+        f'<script type="application/ld+json">{ld}</script>'
+        f"<script>{player}</script>"
+        "</head><body>"
+        f'<span class="uploader"><a href="#">user{u % 50}</a></span>'
+        f'<span class="views">{views:,}</span>'
+        f"{tag_html}<div class='downloads'>{variants}</div>"
+        f'<video><source src="https://cdn.example.test/file/{image_id_for(i)}.mp4"></video>'
+        "</body></html>"
+    )
+
+
+def gen_listing_pages_pdf(n_pages: int, videos_per_page: int = 24, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "page": range(1, n_pages + 1),
+            "html": [
+                listing_html_for(p, n_pages, videos_per_page, seed)
+                for p in range(1, n_pages + 1)
+            ],
+        }
+    )
+
+
+def gen_detail_pages_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "image_id": [image_id_for(i) for i in range(n)],
+            "html": [detail_html_for(i, seed) for i in range(n)],
+        }
+    )
+
+
 # ------------------------------------------------------- Spark DataFrames
 
 

@@ -54,10 +54,17 @@ def _mix(h: np.ndarray) -> np.ndarray:
 
 
 def _bloom_positions(hashes: np.ndarray, k: int, m_bits: int) -> Iterator[np.ndarray]:
-    """k probe positions per key via double hashing h1 + i*h2 (mod m)."""
+    """k probe positions per key via double hashing h1 + i*h2 (mod m).
+
+    h is mixed BEFORE deriving h1: shards are selected by ``h mod
+    n_shards``, so within a shard the raw low bits are constant — and when
+    m_bits shares a factor with n_shards, ``h mod m_bits`` would collapse
+    to 1/n_shards of the positions (measured 8× worse FPR). splitmix64
+    decorrelates the in-shard position from the shard selector."""
     h = hashes.view(np.uint64) if hashes.dtype == np.int64 else hashes.astype(np.uint64)
-    h1 = h % np.uint64(m_bits)
-    h2 = (_mix(h) % np.uint64(m_bits - 1)) + np.uint64(1)
+    hm = _mix(h)
+    h1 = hm % np.uint64(m_bits)
+    h2 = (_mix(hm) % np.uint64(m_bits - 1)) + np.uint64(1)
     for i in range(k):
         yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
 
@@ -79,6 +86,80 @@ BLOOM_SHARD_SCHEMA = T.StructType(
         T.StructField("bits", T.BinaryType(), False),
     ]
 )
+
+
+def empty_bloom_shards(
+    spark, n_shards: int = 32, capacity: int = 1_000_000, fpr: float = 0.01
+):
+    """An all-zero sharded filter sized for ``capacity`` total keys.
+    The (m_bits, k) geometry is FIXED at creation — incremental updates
+    (update_bloom_shards) must never resize, or old bits become garbage."""
+    per_shard = max(capacity // max(n_shards, 1), 1)
+    m_bits, k = bloom_params(per_shard, fpr)
+    zero = bytes(m_bits // 8)
+    rows = [(s, m_bits, k, zero) for s in range(n_shards)]
+    return spark.createDataFrame(rows, schema=BLOOM_SHARD_SCHEMA)
+
+
+def update_bloom_shards(
+    shards: DataFrame,
+    new_keys: DataFrame,
+    key: str = "url_hash",
+    n_shards: int = 32,
+) -> DataFrame:
+    """OR the new keys into the existing shards (the north rule's
+    "partitioned Bloom filter MAINTAINED via vectorized Arrow UDFs"):
+    build partial shards from the new keys with the existing geometry,
+    union with the current shards, and OR-merge per shard id. Steady-state
+    cost is O(new keys) — the filter is never rebuilt from the full
+    seen-set."""
+    first = shards.select("m_bits", "k").first()
+    m_bits, k = int(first["m_bits"]), int(first["k"])
+
+    def _build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitsets: dict[int, np.ndarray] = {}
+        for pdf in pdf_iter:
+            hashes = pdf[key].to_numpy(np.int64)
+            sh = pdf["__shard"].to_numpy()
+            for s in np.unique(sh):
+                bools = bitsets.setdefault(int(s), np.zeros(m_bits, bool))
+                for pos in _bloom_positions(hashes[sh == s], k, m_bits):
+                    bools[pos] = True
+        yield pd.DataFrame(
+            {
+                "shard": list(bitsets.keys()),
+                "m_bits": [m_bits] * len(bitsets),
+                "k": [k] * len(bitsets),
+                "bits": [
+                    np.packbits(b, bitorder="little").tobytes() for b in bitsets.values()
+                ],
+            }
+        )
+
+    partials = (
+        new_keys.select(
+            F.col(key), F.pmod(F.col(key), F.lit(n_shards)).cast("int").alias("__shard")
+        )
+        .repartition(n_shards, "__shard")
+        .mapInPandas(_build, schema=BLOOM_SHARD_SCHEMA)
+    )
+
+    def _merge(keypdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, np.uint8)
+        for b in keypdf["bits"]:
+            acc |= np.frombuffer(b, np.uint8)
+        return pd.DataFrame(
+            {
+                "shard": [int(keypdf["shard"].iloc[0])],
+                "m_bits": [m_bits],
+                "k": [k],
+                "bits": [acc.tobytes()],
+            }
+        )
+
+    return shards.unionByName(partials).groupBy("shard").applyInPandas(
+        _merge, schema=BLOOM_SHARD_SCHEMA
+    )
 
 
 def build_bloom_shards(
@@ -198,23 +279,30 @@ def mark_seen(
     seen_count: int | None = None,
     bloom_min_seen: int = 20_000,
     out_col: str = "is_seen",
+    bloom_shards: DataFrame | None = None,
 ) -> DataFrame:
     """Flag variant of the dedup operator: adds ``out_col`` instead of
     filtering, so one downstream checkpoint can serve both the kept and the
     skipped rows (the skipped ones still need a frontier status update).
 
-    Bloom engages only once the seen-set is big enough to beat the plain
-    broadcast-hash anti-join (``bloom_min_seen``); below that the exact join
-    is already one broadcast away and the bloom build would cost more jobs
-    than it saves.
+    With ``bloom_shards`` (the incrementally-maintained filter, see
+    update_bloom_shards) the probe always runs — steady-state cost is one
+    broadcast + a vectorized scan. Without it, a filter is built on the
+    fly once the seen-set is big enough to beat the plain broadcast-hash
+    anti-join (``bloom_min_seen``); below that the exact join is already
+    one broadcast away and the build would cost more jobs than it saves.
     """
     if seen_keys is None:
         return batch.withColumn(out_col, F.lit(False))
     seen_marked = seen_keys.select(key).distinct().withColumn("__hit", F.lit(True))
     n = seen_count if seen_count is not None else None
-    if use_bloom and (n is None or n >= bloom_min_seen):
-        shards = build_bloom_shards(
-            seen_keys, key, n_shards, fpr, n_keys_hint=seen_count
+    if bloom_shards is not None or (
+        use_bloom and (n is None or n >= bloom_min_seen)
+    ):
+        shards = (
+            bloom_shards
+            if bloom_shards is not None
+            else build_bloom_shards(seen_keys, key, n_shards, fpr, n_keys_hint=seen_count)
         )
         probed = bloom_probe(batch, shards, key, n_shards)
         definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen").withColumn(

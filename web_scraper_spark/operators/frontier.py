@@ -99,12 +99,17 @@ def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
          offset — exact global order with no single-reducer sort.
     """
     spark = frontier.sparkSession
-    # distinct-priority counts with a running total. The window is a
-    # single reducer, but over DISTINCT priorities only (frontier_rows /
-    # items_per_priority); at 10^10 frontier scale this would become a
-    # two-level cutoff (bucket priorities into ranges first) — the rest of
-    # the algorithm is unchanged.
-    pri_counts = frontier.groupBy("priority").count()
+    # distinct-priority counts with a running total. Every priority holds
+    # ≥1 row, so the top ``batch_size`` priorities by value are guaranteed
+    # to cover the batch — the orderBy+limit is a parallel top-K
+    # (TakeOrderedAndProject), capping the single-reducer window below at
+    # O(batch_size) rows no matter how many distinct priorities exist.
+    pri_counts = (
+        frontier.groupBy("priority")
+        .count()
+        .orderBy(F.col("priority").desc())
+        .limit(batch_size)
+    )
     run = pri_counts.withColumn(
         "running",
         F.sum("count").over(

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (training-data pipeline ops):
+brute-force cosine top-k baseline + multi-table random-hyperplane LSH as
+the scale path.
+
+Everything is pure column expressions (zip_with / aggregate in double
+precision) — no UDFs. Scale shapes:
+  * brute force: broadcast the bounded query block, one corpus scan,
+    per-partition top-k then global top-k (row_number over q_id) — never
+    an n² shuffle;
+  * LSH: each vector hashes to ``tables`` bucket ids (sign patterns of
+    ``bits`` fixed random projections); candidates share a bucket in ANY
+    table. Expected scan per query drops to tables·n/2^bits; recall for
+    near-duplicates (cosine ≥ 0.95) is 1-(1-p^bits)^tables with
+    p = 1 - angle/π ≈ 0.95 ⇒ ~0.99+ at (4 tables, 6 bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query over the corpus
+    (self-matches by id excluded). Returns (q_id, neighbor_id, rank, cos)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(vec_col).alias("qe")
+    ).withColumn("qn", _norm(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
+    ).withColumn("cn", _norm(F.col("ce")))
+    sim = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos"))
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    tables: int = 4,
+    bits: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) — one bucket id per hash table per vector.
+    Projections are fixed by ``seed``; bucketing is pure expressions, so
+    the signature computation is one codegen'd scan."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((tables, bits, dim))
+    dbl = _as_double(vec_col)
+    rows = []
+    for t in range(tables):
+        sig = None
+        for b in range(bits):
+            proj = _dot(dbl, F.array(*[F.lit(float(v)) for v in planes[t, b]]))
+            bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig * 2 + bit
+        rows.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    tables: int = 4,
+    bits: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = ids sharing a bucket with the query
+    in ANY table; exact cosine + rank on the candidate slice only."""
+    corpus_sig = lsh_signatures(corpus, dim, tables, bits, seed, id_col, vec_col)
+    query_sig = lsh_signatures(queries, dim, tables, bits, seed, id_col, vec_col)
+    cand = (
+        query_sig.select(F.col("id").alias("q_id"), "table", "bucket")
+        .join(
+            corpus_sig.select(F.col("id").alias("neighbor_id"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(vec_col).alias("qe")
+    ).withColumn("qn", _norm(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
+    ).withColumn("cn", _norm(F.col("ce")))
+    sim = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos"))
+    )

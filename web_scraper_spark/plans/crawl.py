@@ -72,6 +72,8 @@ class CrawlEngine:
         n_partitions: int = 32,
         verify_phash: bool = True,
         bloom_min_seen: int = 20_000,
+        bloom_capacity: int | None = None,
+        bloom_shards_n: int = 32,
     ):
         self.root = root
         self.batch_size = batch_size
@@ -80,6 +82,8 @@ class CrawlEngine:
         self.n_partitions = n_partitions
         self.verify_phash = verify_phash
         self.bloom_min_seen = bloom_min_seen
+        self.bloom_capacity = bloom_capacity
+        self.bloom_shards_n = bloom_shards_n
         os.makedirs(root, exist_ok=True)
         self.frontier = SnapshotTable(root, "frontier")
         self.seen = SnapshotTable(root, "seen")
@@ -87,6 +91,7 @@ class CrawlEngine:
         self.payload_out = SnapshotTable(root, "payload_out")
         self.schedule_log = SnapshotTable(root, "schedule_log")
         self.robots = SnapshotTable(root, "robots")
+        self.bloom = SnapshotTable(root, "bloom")
         self.checkpoints = CheckpointLog(root)
 
     # ------------------------------------------------------------- init
@@ -97,6 +102,18 @@ class CrawlEngine:
         )
         fv = self.frontier.commit_overwrite_bucketed(frontier, "bucket")
         rv = self.robots.commit_overwrite(robots) if robots is not None else 0
+        bv = 0
+        if self.use_bloom:
+            # the incrementally-maintained seen-set filter (north rule):
+            # geometry fixed at init, sized for the whole frontier. Never
+            # rebuilt — per-batch cost is O(newly seen), not O(seen).
+            from ..operators.dedup import empty_bloom_shards
+
+            spark = site_graph.sparkSession
+            cap = self.bloom_capacity or max(site_graph.count() * 2, 10_000)
+            bv = self.bloom.commit_overwrite(
+                empty_bloom_shards(spark, self.bloom_shards_n, cap)
+            )
         self.checkpoints.commit(
             0,
             {
@@ -107,6 +124,7 @@ class CrawlEngine:
                     "payload_out": 0,
                     "schedule_log": 0,
                     "robots": rv,
+                    "bloom": bv,
                 },
                 "next_seq": 1,
                 "logical_s": 0.0,
@@ -157,6 +175,9 @@ class CrawlEngine:
         frontier = self.frontier.read(spark, v["frontier"])
         seen = self.seen.read(spark, v["seen"])
         robots = self.robots.read(spark, v["robots"])
+        bloom_shards = (
+            self.bloom.read(spark, v.get("bloom", 0)) if self.use_bloom else None
+        )
         now = self._logical_ts(logical_s)
 
         # -- take the micro-batch (window-ranked priority queue) ------------
@@ -174,6 +195,8 @@ class CrawlEngine:
             use_bloom=self.use_bloom,
             seen_count=seen_count,
             bloom_min_seen=self.bloom_min_seen,
+            bloom_shards=bloom_shards,
+            n_shards=self.bloom_shards_n,
         )
         batch = batch.withColumn("is_seen", F.col("is_seen") | F.col("__dup")).drop("__dup")
         batch = self._annotate_robots(batch, robots)
@@ -279,11 +302,21 @@ class CrawlEngine:
         # -- commits ----------------------------------------------------------
         ok = results.filter(F.col("ok")) if results is not None else None
         pv, sv, fv2 = v["payload_out"], v["seen"], v["failures"]
+        bv = v.get("bloom", 0)
         if n_ok > 0:
             new_payload = ok.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
             pv = self.payload_out.commit_append(new_payload, base_version=v["payload_out"])
             new_seen = ok.select("url_hash", "image_id", F.col("seq").alias("committed_seq"))
             sv = self.seen.commit_append(new_seen, base_version=v["seen"])
+            if bloom_shards is not None:
+                # incremental maintenance: OR only the newly-seen keys in
+                from ..operators.dedup import update_bloom_shards
+
+                bv = self.bloom.commit_overwrite(
+                    update_bloom_shards(
+                        bloom_shards, new_seen.select("url_hash"), n_shards=self.bloom_shards_n
+                    )
+                )
 
         failed_rows = None
         if n_bad > 0:
@@ -389,6 +422,7 @@ class CrawlEngine:
                     "payload_out": pv,
                     "schedule_log": tv,
                     "robots": v["robots"],
+                    "bloom": bv,
                 },
                 "next_seq": next_seq + n_sched,
                 "logical_s": logical_s,
