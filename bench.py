@@ -62,7 +62,7 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def frontier_throughput(spark, n_rows: int, batch_size: int = 200_000) -> dict:
+def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> dict:
     """Throughput of the engine's two frontier phases, mirroring
     plans/crawl.py exactly:
 
@@ -87,6 +87,8 @@ def frontier_throughput(spark, n_rows: int, batch_size: int = 200_000) -> dict:
     )
     from web_scraper_spark.operators.frontier import take_batch
 
+    if batch_size is None:
+        batch_size = int(os.environ.get("WSS_BENCH_BATCH", "200000"))
     tmp = tempfile.mkdtemp(prefix="wss_bench_frontier_")
     try:
         site = datagen.big_site_graph_df(spark, n_pages=n_rows // 24, videos_per_page=24)
@@ -122,15 +124,17 @@ def frontier_throughput(spark, n_rows: int, batch_size: int = 200_000) -> dict:
         t_sched = float("inf")
         for _ in range(2):
             t0 = time.time()
-            probed = bloom_probe(frontier, shards, n_shards=32)
+            # engine order (plans/crawl.py): rank/slice FIRST, probe the
+            # BOUNDED batch — probing the whole frontier would re-run the
+            # UDF per downstream pass because Catalyst cannot push the
+            # priority cutoff below an ArrowEvalPython node
+            batch = take_batch(frontier, batch_size).drop("seq").localCheckpoint(eager=True)
+            probed = bloom_probe(batch, shards, n_shards=32)
             fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            # pin the ranked batch exactly like plans/crawl.py does — the
-            # politeness stage must not recompute the probe lineage
-            batch = take_batch(fresh, batch_size).drop("seq").localCheckpoint(eager=True)
-            waved = assign_waves(batch, per_host_parallelism=3)
+            waved = assign_waves(fresh, per_host_parallelism=3)
             placed = waved.withColumn("salt", F.pmod(F.col("fetch_wave"), F.lit(8)))
             force(placed)
-            force(update_bloom_shards(shards, batch.select("url_hash"), n_shards=32))
+            force(update_bloom_shards(shards, fresh.select("url_hash"), n_shards=32))
             t_sched = min(t_sched, time.time() - t0)
         shards.unpersist()
         return {

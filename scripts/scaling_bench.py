@@ -42,8 +42,15 @@ def child(cpus: int, rows: int) -> None:
 
 def run_child(cpus: int, rows: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=REPO)
+    # Pin the whole child (JVM + python workers) to exactly `cpus` CPUs:
+    # without affinity, a local[N] JVM still burns extra cores on GC,
+    # shuffle IO and codegen threads, inflating the small-N baseline in a
+    # way real N-core executors never see.
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(rows)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(rows)],
+        cmd,
         capture_output=True,
         text=True,
         env=env,

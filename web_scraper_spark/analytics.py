@@ -595,6 +595,44 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's parse phase end-to-end (S1-S6, F15, W1): listing
+    HTML → URL fan-out; detail HTML → JSON-LD + markup extraction → views
+    parse, ISO duration, tag cleanup, best-quality variant top-1. All on
+    deterministic synthetic pages (datagen); rows-only check."""
+    from . import datagen
+    from .functions.extraction import explode_listing, parse_detail_page
+    from .functions.parsing import duration_to_seconds
+    from .functions.urlnorm import canonicalize_url, extract_item_id
+    from .operators.quality import best_quality_variant
+
+    listings = spark.createDataFrame(datagen.gen_listing_pages_pdf(5, 24))
+    discovered = explode_listing(listings).select(
+        "page", extract_item_id(canonicalize_url(F.col("url"))).alias("image_id")
+    )
+    details = spark.createDataFrame(datagen.gen_detail_pages_pdf(5 * 24))
+    parsed = parse_detail_page(details)
+    variants = parsed.select("image_id", F.explode("variants").alias("v")).select(
+        "image_id", F.col("v.url").alias("url"), F.col("v.label").alias("quality_label")
+    )
+    best = best_quality_variant(variants).select(
+        "image_id", F.col("url").alias("best_url")
+    )
+    return (
+        discovered.join(parsed, "image_id")
+        .join(best, "image_id")
+        .select(
+            "image_id",
+            "page",
+            "title",
+            "views",
+            duration_to_seconds(F.col("duration")).alias("duration_s"),
+            F.size("tags").alias("n_tags"),
+            "best_url",
+        )
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (decode → brightness/contrast →
     full+thumbnail phash) over the synthetic binary payload via one
@@ -637,6 +675,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "image_decode_stats": q_image_decode_stats,
     "image_features": q_image_features,
+    "html_extraction": q_html_extraction,
 }
 
 _JACCARD_ORACLE = """

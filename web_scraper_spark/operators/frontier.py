@@ -99,17 +99,14 @@ def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
          offset — exact global order with no single-reducer sort.
     """
     spark = frontier.sparkSession
-    # distinct-priority counts with a running total. Every priority holds
-    # ≥1 row, so the top ``batch_size`` priorities by value are guaranteed
-    # to cover the batch — the orderBy+limit is a parallel top-K
-    # (TakeOrderedAndProject), capping the single-reducer window below at
-    # O(batch_size) rows no matter how many distinct priorities exist.
-    pri_counts = (
-        frontier.groupBy("priority")
-        .count()
-        .orderBy(F.col("priority").desc())
-        .limit(batch_size)
-    )
+    # distinct-priority counts with a running total. The window below is a
+    # single reducer, but over DISTINCT priorities only — small, JVM-side,
+    # and flat in core count. (An orderBy().limit(batch_size) pre-cut was
+    # tried and REVERTED: TakeOrderedAndProject merges limit×partitions
+    # rows on the driver, which anti-scales with parallelism. At 10^9+
+    # distinct priorities, bucket priorities into ranges first and apply
+    # the same two-phase cutoff per range.)
+    pri_counts = frontier.groupBy("priority").count()
     run = pri_counts.withColumn(
         "running",
         F.sum("count").over(

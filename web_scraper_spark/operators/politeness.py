@@ -35,12 +35,37 @@ def assign_waves(batch: DataFrame, per_host_parallelism: int = 3) -> DataFrame:
     ``per_host_parallelism`` mirrors the reference's 3-parallel-downloads
     bound (config_manager.py:27) — at most that many in-flight requests per
     host per wave.
+
+    Ranking is two-level: a window per (host, priority) plus driver-
+    cumulated per-host offsets from a (host, priority) count aggregate.
+    A plain per-host window would put a hot host's whole batch share in
+    ONE task (the 50%-hot-host fixture ⇒ half the batch serial); per
+    (host, priority) the hot host splits across its priorities while
+    host_rank stays exactly the rank over (priority desc, position, hash)
+    within the host.
     """
-    w = Window.partitionBy("host").orderBy(
-        F.col("priority").desc(), F.col("position").asc(), F.col("url_hash").asc()
+    # offsets computed wholly JVM-side: the per-host running sum windows
+    # over DISTINCT (host, priority) rows only — a driver pandas
+    # round-trip here measured slower than the whole ranking
+    counts = batch.groupBy("host", "priority").count()
+    woff = (
+        Window.partitionBy("host")
+        .orderBy(F.col("priority").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return batch.withColumn("host_rank", F.row_number().over(w) - 1).withColumn(
-        "fetch_wave", (F.col("host_rank") / per_host_parallelism).cast("int")
+    offsets = counts.select(
+        "host",
+        "priority",
+        F.coalesce(F.sum("count").over(woff), F.lit(0)).alias("__offset"),
+    )
+    w = Window.partitionBy("host", "priority").orderBy(
+        F.col("position").asc(), F.col("url_hash").asc()
+    )
+    return (
+        batch.join(F.broadcast(offsets), ["host", "priority"])
+        .withColumn("host_rank", (F.col("__offset") + F.row_number().over(w) - 1).cast("int"))
+        .drop("__offset")
+        .withColumn("fetch_wave", (F.col("host_rank") / per_host_parallelism).cast("int"))
     )
 
 

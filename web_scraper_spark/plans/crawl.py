@@ -134,6 +134,13 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- helpers
 
+    @staticmethod
+    def _carry_state(ck: dict) -> dict:
+        """State keys owned by subclasses/extensions (e.g. the discovery
+        plan's site config) survive base-engine checkpoint writes."""
+        reserved = {"batch_id", "versions", "next_seq", "logical_s", "seen_count", "stats"}
+        return {k: val for k, val in ck.items() if k not in reserved}
+
     def _logical_ts(self, logical_s: float) -> F.Column:
         return F.to_timestamp(F.lit(LOGICAL_EPOCH)) + F.make_dt_interval(secs=F.lit(logical_s))
 
@@ -239,6 +246,7 @@ class CrawlEngine:
             self.checkpoints.commit(
                 batch_id,
                 {
+                    **self._carry_state(ck),
                     "versions": v,
                     "next_seq": next_seq,
                     "logical_s": self._ts_to_logical(nxt),
@@ -261,9 +269,12 @@ class CrawlEngine:
         if n_sched > 0:
             payload = self._payload_store(spark)
             fault_bc = self._fault_bc(spark)
-            withp = join_payload_store(scheduled, payload)
-            waved = assign_waves(withp, self.per_host_parallelism)
-            placed = salted_repartition(waved, self.n_partitions, hot_hosts=hot_hosts)
+            # waves first (bounded batch, pinned) — then the payload join;
+            # assign_waves runs a small counts aggregate, which must scan
+            # the checkpointed batch, not the payload-join lineage
+            waved = assign_waves(scheduled, self.per_host_parallelism)
+            withp = join_payload_store(waved, payload)
+            placed = salted_repartition(withp, self.n_partitions, hot_hosts=hot_hosts)
             results = fetch_and_validate(placed, fault_bc, self.verify_phash).localCheckpoint(
                 eager=True
             )
@@ -415,7 +426,9 @@ class CrawlEngine:
         self.checkpoints.commit(
             batch_id,
             {
+                **self._carry_state(ck),
                 "versions": {
+                    **v,  # preserve versions of tables this engine doesn't touch
                     "frontier": nfv,
                     "seen": sv,
                     "failures": fv2,
