@@ -156,3 +156,83 @@ def test_retry_budget_and_backoff(spark):
     assert out[0]["b"] == pytest.approx(40.0)  # 5 * 2^3
     assert out[1]["b"] == pytest.approx(300.0)  # capped
     assert out[2]["b"] == pytest.approx(120.0)  # 60 * 2
+
+
+# ------------------------------------------------------------- dates F1/F3
+
+
+def test_parse_relative_date_ms_golden(spark):
+    # golden cases mirroring reference date_parser.py:38-81
+    from web_scraper_spark.functions.parsing import parse_relative_date_ms
+
+    now = F.to_timestamp(F.lit("2026-01-10 00:00:00"))
+    now_ms = 1768003200000  # 2026-01-10T00:00:00Z
+    rows = [
+        "5 days ago",
+        "1 day ago",
+        "3 weeks ago",
+        "2 months ago",
+        "1 year ago",
+        "10 minutes ago",
+        "30 seconds ago",
+        "6 hours ago",
+        "yesterday",
+        "today",
+        "just now",
+        "now",
+        "  2 Days Ago  ",  # trim + case-insensitive
+        "garbage",
+        "",
+    ]
+    out = col_vals(spark, rows, parse_relative_date_ms(F.col("v"), now))
+    day = 86_400_000
+    assert out[0] == now_ms - 5 * day
+    assert out[1] == now_ms - 1 * day
+    assert out[2] == now_ms - 3 * 7 * day
+    assert out[3] == now_ms - 2 * 30 * day
+    assert out[4] == now_ms - 365 * day
+    assert out[5] == now_ms - 10 * 60_000
+    assert out[6] == now_ms - 30 * 1000
+    assert out[7] == now_ms - 6 * 3_600_000
+    assert out[8] == now_ms - day
+    assert out[9] == now_ms
+    assert out[10] == now_ms
+    assert out[11] == now_ms
+    assert out[12] == now_ms - 2 * day
+    assert out[13] is None
+    assert out[14] is None
+
+
+def test_parse_date_fuzzy_extracts_from_prose(spark):
+    from web_scraper_spark.functions.parsing import parse_date_fuzzy
+
+    rows = [
+        "Published on March 5, 2024 by admin",
+        "uploaded 2023-11-02, remastered",
+        "no date here at all",
+        None,
+    ]
+    out = col_vals(spark, rows, parse_date_fuzzy(F.col("v")))
+    assert out[0] is not None and (out[0].year, out[0].month, out[0].day) == (2024, 3, 5)
+    assert out[1] is not None and (out[1].year, out[1].month, out[1].day) == (2023, 11, 2)
+    assert out[2] is None
+    assert out[3] is None
+
+
+def test_parse_upload_date_chain_and_sanity_window(spark):
+    from web_scraper_spark.functions.parsing import parse_upload_date
+
+    now = F.to_timestamp(F.lit("2026-01-10 00:00:00"))
+    rows = [
+        "2024-03-05",                          # strict format wins
+        "Published on March 5, 2024 by admin", # fuzzy fallback
+        "2300-01-01",                          # future -> sanity-rejected
+        "1900-01-01",                          # too old -> sanity-rejected
+        "not a date",
+    ]
+    out = col_vals(spark, rows, parse_upload_date(F.col("v"), now))
+    assert (out[0].year, out[0].month, out[0].day) == (2024, 3, 5)
+    assert (out[1].year, out[1].month, out[1].day) == (2024, 3, 5)
+    assert out[2] is None
+    assert out[3] is None
+    assert out[4] is None

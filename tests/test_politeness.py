@@ -38,13 +38,38 @@ def test_waves_bound_per_host_parallelism(spark):
 
 
 def test_salting_splits_only_hot_hosts(spark):
+    # explicit hot list (the engine path: hot hosts precomputed in its
+    # stats pass): only the listed host splits, everything else salt 0
     waved = assign_waves(_batch(spark), 3)
-    placed = salted_repartition(waved, n_partitions=8, n_salts=4)
+    placed = salted_repartition(
+        waved, n_partitions=8, n_salts=4, hot_hosts=[datagen.HOT_HOST]
+    )
     salts = placed.groupBy("host").agg(F.countDistinct("salt").alias("n_salts")).collect()
     by_host = {r["host"]: r["n_salts"] for r in salts}
-    # hot host (~50% share) gets multiple salts; cold hosts exactly one
     assert by_host[datagen.HOT_HOST] > 1
     assert all(v == 1 for h, v in by_host.items() if h != datagen.HOT_HOST)
+
+
+def test_salting_autodetect_respects_threshold(spark):
+    # standalone path: hosts are salted iff their batch share exceeds the
+    # threshold — computed from the fixture, not assumed (in the 48-row
+    # fixture some cold hosts legitimately cross 10%)
+    waved = assign_waves(_batch(spark), 3)
+    total = waved.count()
+    shares = {
+        r["host"]: r["count"] / total for r in waved.groupBy("host").count().collect()
+    }
+    placed = salted_repartition(waved, n_partitions=8, n_salts=4, hot_threshold=0.10)
+    by_host = {
+        r["host"]: r["n_salts"]
+        for r in placed.groupBy("host")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .collect()
+    }
+    for host, share in shares.items():
+        if share <= 0.10:
+            assert by_host[host] == 1, host
+    assert by_host[datagen.HOT_HOST] > 1  # ~50% share is always hot
 
 
 def test_salting_deterministic(spark):

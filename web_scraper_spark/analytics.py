@@ -233,6 +233,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shingle DataFrames persisted by the current query — released on the next
+#: _shingle_df call (queries run sequentially) or explicitly via
+#: release_caches(). Without this, every jaccard/minhash query leaked one
+#: cached RDD into the shared session (executor storage memory grows
+#: unbounded across a 25-query gate run + bench loop).
+_PERSISTED_SHINGLES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist any shingle cache left behind by the last dedup query."""
+    while _PERSISTED_SHINGLES:
+        _PERSISTED_SHINGLES.pop().unpersist()
+
+
 def _shingle_df(d: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — one row per DISTINCT word n-gram per document.
 
@@ -242,7 +256,9 @@ def _shingle_df(d: DataFrame, n: int = 3) -> DataFrame:
     Documents shorter than n tokens produce no shingles (matches the
     oracle's range() semantics; also keeps element_at in bounds under ANSI
     mode). The result is persisted — every caller fans out into several
-    join branches and must not recompute the explode per branch."""
+    join branches and must not recompute the explode per branch. The
+    previous query's cache is released here (see _PERSISTED_SHINGLES)."""
+    release_caches()
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     w = F.col("w")
     idx = F.sequence(F.lit(0), F.size(w) - n)
@@ -251,7 +267,9 @@ def _shingle_df(d: DataFrame, n: int = 3) -> DataFrame:
     )
     empty = F.array().cast("array<string>")
     shingles = F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(empty)
-    return toks.select("doc_id", F.explode(shingles).alias("shingle")).persist()
+    out = toks.select("doc_id", F.explode(shingles).alias("shingle")).persist()
+    _PERSISTED_SHINGLES.append(out)
+    return out
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +834,7 @@ SELECT doc_id,
 FROM t
 """,
     "corpus_stats": """
-SELECT lang, count(*) AS docs, sum(n_chars) AS total_chars,
+SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
 """,

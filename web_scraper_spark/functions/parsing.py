@@ -64,6 +64,54 @@ def parse_absolute_date(text: Column | str) -> Column:
     return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in ABSOLUTE_DATE_FORMATS])
 
 
+def parse_date_fuzzy(text: Column | str) -> Column:
+    """Fuzzy date fallback (F3, reference date_parser.py:28-36): dateutil
+    ``parse(fuzzy=True)`` picks a date out of surrounding prose
+    ('Published on March 5, 2024 by admin'). Arrow-batched pandas UDF —
+    this is the slow-path *fallback*; the strptime formats above stay
+    JVM-side and win first in ``parse_upload_date``'s coalesce chain.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _fuzzy(s):
+        try:
+            from dateutil import parser as duparser
+        except ImportError:  # pragma: no cover - dateutil ships with pandas
+            return pd.Series([pd.NaT] * len(s))
+
+        default = __import__("datetime").datetime(2000, 1, 1)
+
+        def one(v):
+            if v is None or not str(v).strip():
+                return pd.NaT
+            try:
+                return duparser.parse(str(v), fuzzy=True, default=default)
+            except (ValueError, OverflowError):
+                return pd.NaT
+
+        return pd.Series([one(v) for v in s], dtype="datetime64[us]")
+
+    # registered without annotations: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf can't infer from
+    fuzzy_udf = F.pandas_udf(_fuzzy, T.TimestampNTZType())
+    c = F.col(text) if isinstance(text, str) else text
+    return fuzzy_udf(c).cast("timestamp")
+
+
+def parse_upload_date(text: Column | str, now: Column | None = None) -> Column:
+    """The reference's full date fallback chain (date_parser.py:20-36):
+    strict strptime formats first (JVM-side), fuzzy dateutil as the
+    fallback branch of the coalesce, then the sanity window (not future,
+    not ancient) nulls out garbage."""
+    c = F.trim(F.col(text) if isinstance(text, str) else text)
+    strict = parse_absolute_date(c)
+    parsed = F.coalesce(strict, parse_date_fuzzy(c))
+    return F.when(sane_upload_ts(parsed, now), parsed).otherwise(
+        F.lit(None).cast("timestamp")
+    )
+
+
 def sane_upload_ts(ts: Column, now: Column | None = None, max_age_years: int = 20) -> Column:
     """Sanity window: not in the future, not older than 20 y
     (reference date_parser.py:108-129)."""
