@@ -32,7 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable equivalents. Queries absent here (simhash,
-    doc_fingerprint, image_decode_stats) use Spark-specific hashes or
-    binary payloads with no portable SQL equivalent → rows-only check."""
-    return dict(analytics.ORACLES)
+    """DuckDB-runnable equivalents — one per queries() entry. The hash
+    queries use md5 (portable), the LSH oracle embeds the seeded
+    hyperplanes as literals, and the datagen-backed html/image queries are
+    checked against VALUES tables of independently-computed ground truth."""
+    return analytics.get_oracles()

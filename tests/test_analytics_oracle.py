@@ -44,11 +44,14 @@ def ddb():
     return con
 
 
-@pytest.mark.parametrize("name", sorted(analytics.ORACLES))
+ALL_ORACLES = analytics.get_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = analytics.QUERIES[name](spark, SF_DIR)
     spark_rows = [r.asDict() for r in sdf.collect()]
-    odf = ddb.sql(analytics.ORACLES[name]).df()
+    odf = ddb.sql(ALL_ORACLES[name]).df()
     cols = sorted(sdf.columns)
     assert cols == sorted(odf.columns), f"{name}: column names differ"
     orows = odf.to_dict("records")
@@ -56,7 +59,7 @@ def test_query_matches_oracle(spark, ddb, name):
     assert _rows(spark_rows, cols) == _rows(orows, cols), f"{name}: values differ"
 
 
-@pytest.mark.parametrize("name", sorted(set(analytics.QUERIES) - set(analytics.ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(analytics.QUERIES) - set(ALL_ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = analytics.QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0

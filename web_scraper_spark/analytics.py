@@ -412,30 +412,75 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-hash bit-vote) — pure column
-    expressions: explode tokens → xxhash64 → per-bit ±1 votes → sign bits
-    reassembled. Scale: one shuffle on doc_id; no UDF at all.
-    (No SQL oracle: hash function is Spark-specific → rows-only check.)"""
+    expressions: explode tokens → md5 → per-bit ±1 votes over the first 16
+    hex nibbles → sign bits reassembled into a 16-hex-char fingerprint.
+    Scale: one shuffle on doc_id; no UDF at all; the 16 nibble columns are
+    materialized in one projection so the 64 vote aggregates reference
+    cheap int columns (not 64 re-derivations of the hash).
+
+    md5 (not xxhash64) on purpose: both Spark and DuckDB expose md5, so the
+    whole simhash — token hash, bit votes, sign assembly — is replayed
+    verbatim by the SQL oracle (value-level gate check, not rows-only)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    votes = th.groupBy("doc_id").agg(
+    hx = toks.select("doc_id", F.md5("tok").alias("hx"))
+
+    def _nib(j: int) -> F.Column:
+        ch = F.substring("hx", j + 1, 1)
+        return F.when(ch >= "a", F.ascii(ch) - 87).otherwise(F.ascii(ch) - 48)
+
+    nibs = hx.select("doc_id", *[_nib(j).alias(f"n{j}") for j in range(16)])
+    votes = nibs.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"n{i // 4}"), 3 - i % 4).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
     )
-    bit_terms = [
-        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+    hex_chars = []
+    for j in range(16):
+        val = None
+        for k in range(4):
+            term = F.when(F.col(f"b{4 * j + k}") > 0, F.lit(8 >> k)).otherwise(F.lit(0))
+            val = term if val is None else val + term
+        hex_chars.append(F.substr(F.lit("0123456789abcdef"), val + 1, F.lit(1)))
+    return votes.select("doc_id", F.concat(*hex_chars).alias("simhash"))
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of q_simhash, generated from the same bit layout."""
+    nib_defs = ",\n       ".join(
+        "CASE WHEN substr(hx, {p}, 1) >= 'a' THEN ascii(substr(hx, {p}, 1)) - 87 "
+        "ELSE ascii(substr(hx, {p}, 1)) - 48 END AS n{j}".format(p=j + 1, j=j)
+        for j in range(16)
+    )
+    vote_defs = ",\n       ".join(
+        f"sum(CASE WHEN ((n{i // 4} >> {3 - i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(64)
+    )
+    nib_vals = [
+        " + ".join(f"(CASE WHEN b{4 * j + k} > 0 THEN {8 >> k} ELSE 0 END)" for k in range(4))
+        for j in range(16)
     ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total.bitwiseOR(t)
-    return votes.select("doc_id", total.alias("simhash"))
+    concat = " ||\n       ".join(
+        f"substr('0123456789abcdef', 1 + {v}, 1)" for v in nib_vals
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hx AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+nib AS (SELECT doc_id,
+       {nib_defs}
+FROM hx),
+v AS (SELECT doc_id,
+       {vote_defs}
+FROM nib GROUP BY doc_id)
+SELECT doc_id, {concat} AS simhash FROM v
+"""
 
 
 # =====================================================================
@@ -460,13 +505,66 @@ def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: multi-table random-hyperplane LSH (4 tables x 6
     bits; operators/similarity.py). Neighbors are searched among bucket
     mates only, so the per-query scan shrinks to tables*n/2^bits expected;
-    exact cosine re-ranks the candidate slice. Rows-only check
-    (approximate by construction; recall on planted near-duplicates is
-    asserted in tests/test_multimodal.py)."""
+    exact cosine re-ranks the candidate slice.
+
+    The hyperplanes are FIXED by seed 42, so the whole pipeline — bucket
+    signatures, candidate generation, exact re-rank — is deterministic and
+    the DuckDB oracle (_lsh_oracle_sql, same planes as SQL literals)
+    replays it value-for-value. Recall against the exact top-k is
+    additionally asserted in tests/test_multimodal.py."""
     from .operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < 20), dim=64, k=3)
+
+
+def _lsh_oracle_sql(dim: int = 64, tables: int = 4, bits: int = 6, seed: int = 42) -> str:
+    """DuckDB replay of q_embedding_knn_lsh: the seeded hyperplanes are
+    embedded as double literals (repr() round-trips float64), bucket ids
+    are the same MSB-first sign folds, candidates share a (table, bucket)
+    in any table, and the exact cosine re-rank mirrors the Spark window.
+    Must stay in lockstep with operators/similarity.lsh_signatures."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((tables, bits, dim))
+    sig_selects = []
+    for t in range(tables):
+        terms = []
+        for b in range(bits):
+            arr = ", ".join(repr(float(x)) for x in planes[t, b])
+            weight = 1 << (bits - 1 - b)
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{arr}]) > 0 THEN {weight} ELSE 0 END)"
+            )
+        sig_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(terms)} AS bucket FROM e"
+        )
+    sig = "\n  UNION ALL ".join(sig_selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  {sig}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                        AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+sim AS (
+  SELECT cand.q_id, cand.neighbor_id, list_cosine_similarity(qe.v, ce.v) AS cos
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.q_id
+  JOIN e ce ON ce.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM sim
+)
+SELECT q_id, neighbor_id, CAST(rk AS INT) AS rank, round(cos, 5) AS cos
+FROM r WHERE rk <= 3
+"""
 
 
 # =====================================================================
@@ -545,14 +643,16 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: xxhash64 over full text + first-8-token prefix
-    hash (rolling-hash family). Rows-only check (Spark-specific hash)."""
+    """Document fingerprint: md5 digest over full text + over the
+    first-8-token prefix (the prefix digest is the cheap pre-filter a
+    rolling-hash family would feed). md5 — not xxhash64 — so the DuckDB
+    oracle replays both digests value-for-value."""
     d = _t(spark, sf_dir, "documents")
     prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
     return d.select(
         "doc_id",
-        F.xxhash64("text").alias("fingerprint"),
-        F.xxhash64(prefix).alias("prefix_fingerprint"),
+        F.md5("text").alias("fingerprint"),
+        F.md5(prefix).alias("prefix_fingerprint"),
     )
 
 
@@ -857,7 +957,22 @@ SELECT doc_id, n_en, n_de, n_fr, n_es,
              WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END) = lang AS label_match
 FROM c
 """,
-    # simhash / doc_fingerprint / image_decode_stats / embedding_knn_lsh:
-    # Spark-hash, binary-payload, or approximate-by-construction → rows-only
-    # checks (no portable SQL equivalent).
+    "doc_fingerprint": """
+SELECT doc_id, md5(text) AS fingerprint,
+       md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fingerprint
+FROM documents
+""",
+    "simhash": _simhash_oracle_sql(),
+    "embedding_knn_lsh": _lsh_oracle_sql(),
 }
+
+
+def get_oracles() -> dict[str, str]:
+    """Full oracle map: the static SQL above plus the deterministic-datagen
+    ground-truth oracles (html_extraction / image_decode_stats /
+    image_features — VALUES tables computed without Spark; see
+    groundtruth.py). Built lazily: the image ground truth encodes/decodes
+    the 120-image payload once per process."""
+    from . import groundtruth
+
+    return {**ORACLES, **groundtruth.dynamic_oracles()}
