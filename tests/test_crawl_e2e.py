@@ -187,3 +187,95 @@ def test_bloom_and_exact_paths_agree(spark, tmp_path):
     assert {tuple(r) for r in a.seen_set(spark).collect()} == {
         tuple(r) for r in b.seen_set(spark).collect()
     }
+
+
+def test_storage_gate_stops_crawl_on_byte_budget(spark, tmp_path):
+    """P9: with a byte budget the crawl stops admitting batches once
+    cumulative validated payload bytes reach it — partial progress, clean
+    checkpoint, and resumable if the budget is raised."""
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = CrawlEngine(
+        os.path.join(tmp_root, "gated"),
+        batch_size=BATCH,
+        n_partitions=8,
+        max_storage_bytes=1,  # one successful batch blows the budget
+    )
+    eng.attach_store(ppath, faults)
+    eng.init(site, robots_df)
+    stats = eng.run(spark, max_batches=100)
+    # first batch commits (gate checks BEFORE each batch), nothing after
+    assert len(stats) == 1
+    assert stats[0]["bytes"] > 1
+    seen = eng.seen_set(spark)
+    n_after_gate = 0 if seen is None else seen.count()
+    assert 0 < n_after_gate < N_PAGES * VPP
+    # raising the budget resumes from the checkpoint and finishes
+    eng2 = CrawlEngine(
+        os.path.join(tmp_root, "gated"), batch_size=BATCH, n_partitions=8
+    )
+    eng2.attach_store(ppath, faults)
+    eng2.run(spark, max_batches=100)
+    assert eng2.seen_set(spark).count() > n_after_gate
+
+
+def test_head_probe_annotates_expected_bytes(spark, tmp_path):
+    """S8: the HEAD content-length probe adds the origin's advertised size
+    (null where the origin 404s) without transferring bodies."""
+    from web_scraper_spark.operators.frontier import seed_frontier_from_site
+    from web_scraper_spark.sources.store import head_content_length
+
+    tmp_root = str(tmp_path)
+    site, _, ppath, _ = _fixture(spark, tmp_root, with_faults=False)
+    batch = seed_frontier_from_site(site).limit(30)
+    payload = spark.read.parquet(ppath)
+    probed = head_content_length(batch, payload)
+    rows = probed.collect()
+    assert len(rows) == 30
+    sizes = {r["image_id"]: len(bytes(r["bytes"])) for r in payload.collect()}
+    for r in rows:
+        want = sizes.get(r["image_id"])
+        assert r["expected_bytes"] == want
+    # pruned variant agrees on the covered range
+    ids = sorted(r["image_id"] for r in rows)
+    pruned = head_content_length(batch, payload, id_range=(ids[0], ids[-1]))
+    assert {(r["image_id"], r["expected_bytes"]) for r in pruned.collect()} == {
+        (r["image_id"], r["expected_bytes"]) for r in rows
+    }
+
+
+def test_audit_payload_clean_and_detects_tampering(spark, crawl):
+    """S15 engine-level audit: a finished crawl reconciles clean; doctored
+    tables surface each discrepancy category."""
+    eng, oracle, _ = crawl
+    audit = eng.audit_payload(spark)
+    cats = {r["category"] for r in audit.collect()}
+    assert cats == {"ok"}
+    assert audit.count() == eng.seen_set(spark).count()
+
+    # doctored: drop one payload row (seen_no_payload), truncate another's
+    # bytes (invalid_payload), add an orphan payload row (payload_not_seen)
+    payload = eng.payload_out.read(spark)
+    rows = payload.orderBy("image_id").limit(3).collect()
+    drop_id, corrupt_id = rows[0]["image_id"], rows[1]["image_id"]
+    doctored = (
+        payload.filter(F.col("image_id") != drop_id)
+        .withColumn(
+            "bytes",
+            F.when(
+                F.col("image_id") == corrupt_id,
+                F.expr("substring(bytes, 1, 10)"),
+            ).otherwise(F.col("bytes")),
+        )
+    )
+    orphan = payload.limit(1).withColumn("image_id", F.lit("99999999"))
+    doctored = doctored.unionByName(orphan)
+    audit2 = eng.audit_payload(spark, payload_df=doctored)
+    by_cat = {
+        r["image_id"]: r["category"]
+        for r in audit2.filter(F.col("category") != "ok").collect()
+    }
+    assert by_cat[drop_id] == "seen_no_payload"
+    assert by_cat[corrupt_id] == "invalid_payload"
+    assert by_cat["99999999"] == "payload_not_seen"
+    assert len(by_cat) == 3

@@ -77,3 +77,57 @@ def test_dedup_against_seen_bloom_equals_exact(spark):
     assert {r["url_hash"] for r in via_bloom.collect()} == {
         r["url_hash"] for r in via_exact.collect()
     }
+
+
+def test_aligned_probe_equals_broadcast_probe(spark):
+    """The partition-aligned (cogroup, executor-resident) probe must flag
+    exactly the same rows as the broadcast probe — same filter, same keys,
+    no driver collect of shard bytes on the aligned path."""
+    seen = _keys(spark, 0, 5000)
+    frontier = _keys(spark, 0, 2000).unionByName(_keys(spark, 0, 3000, salt="new"))
+    shards = build_bloom_shards(seen, n_shards=8)
+    bcast = {
+        (r["url_hash"], r["maybe_seen"])
+        for r in bloom_probe(
+            frontier, shards, n_shards=8, partition_aligned=False
+        ).collect()
+    }
+    aligned = {
+        (r["url_hash"], r["maybe_seen"])
+        for r in bloom_probe(
+            frontier, shards, n_shards=8, partition_aligned=True
+        ).collect()
+    }
+    assert aligned == bcast
+    # and still no false negatives through the aligned path
+    seen_hashes = {r["url_hash"] for r in seen.collect()}
+    assert all(maybe for h, maybe in aligned if h in seen_hashes)
+
+
+def test_aligned_probe_handles_missing_and_empty_shards(spark):
+    """Keys whose shard has no bitset row (or an all-zero one) must come
+    back definitely-new, not error."""
+    seen = _keys(spark, 0, 1000)
+    # build over 8 shards but drop half the shard rows
+    shards = build_bloom_shards(seen, n_shards=8).filter(F.col("shard") < 4)
+    probed = bloom_probe(seen, shards, n_shards=8, partition_aligned=True)
+    rows = probed.collect()
+    assert len(rows) == 1000
+    # shards 4-7 are missing -> their keys read as not-seen
+    for r in rows:
+        shard = r["url_hash"] % 8
+        if shard >= 4:
+            assert not r["maybe_seen"]
+
+
+def test_dedup_against_seen_aligned_equals_exact(spark):
+    frontier = _keys(spark, 0, 3000).unionByName(_keys(spark, 0, 3000, salt="x"))
+    seen = _keys(spark, 0, 3000)
+    got = {
+        r["url_hash"]
+        for r in dedup_against_seen(
+            frontier, seen, bloom_partition_aligned=True
+        ).collect()
+    }
+    want = {r["url_hash"] for r in exact_anti_join_seen(frontier, seen).collect()}
+    assert got == want

@@ -247,7 +247,7 @@ def release_caches() -> None:
         _PERSISTED_SHINGLES.pop().unpersist()
 
 
-def _shingle_df(d: DataFrame, n: int = 3) -> DataFrame:
+def _shingle_df(d: DataFrame, n: int = 3, max_df: int | None = None) -> DataFrame:
     """(doc_id, shingle) — one row per DISTINCT word n-gram per document.
 
     The token array is materialized as a column BEFORE the n-gram lambda:
@@ -257,7 +257,15 @@ def _shingle_df(d: DataFrame, n: int = 3) -> DataFrame:
     oracle's range() semantics; also keeps element_at in bounds under ANSI
     mode). The result is persisted — every caller fans out into several
     join branches and must not recompute the explode per branch. The
-    previous query's cache is released here (see _PERSISTED_SHINGLES)."""
+    previous query's cache is released here (see _PERSISTED_SHINGLES).
+
+    ``max_df``: drop stop-shingles present in more than ``max_df``
+    documents before any pair join. This is the scale valve for the exact
+    self-join path — a shingle shared by 10^6 docs would otherwise emit
+    10^12 candidate pairs on one join key; boilerplate shingles carry no
+    dedup signal, so capping bounds the hottest key at max_df² pairs while
+    near-duplicate recall rides on the rare shingles that remain. Omit for
+    the oracle-exact result."""
     release_caches()
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     w = F.col("w")
@@ -267,22 +275,30 @@ def _shingle_df(d: DataFrame, n: int = 3) -> DataFrame:
     )
     empty = F.array().cast("array<string>")
     shingles = F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(empty)
-    out = toks.select("doc_id", F.explode(shingles).alias("shingle")).persist()
+    sh = toks.select("doc_id", F.explode(shingles).alias("shingle"))
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    out = sh.persist()
     _PERSISTED_SHINGLES.append(out)
     return out
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (n-gram dedup).
-
-    Plan: explode distinct shingles → self-equi-join on shingle → count
-    common per pair → Jaccard from set sizes. Scale: the shingle join
-    shuffles on the shingle hash; stop-shingle removal / document frequency
-    capping bounds the hottest keys, and the pair aggregation is a second
-    bounded shuffle. (MinHash below is the at-scale fast path; this is the
-    exact ground truth.)"""
-    d = _t(spark, sf_dir, "documents")
-    sh = _shingle_df(d)
+def jaccard_pairs(
+    d: DataFrame, threshold: float = 0.8, max_df: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold over a documents
+    DataFrame. ``max_df`` engages stop-shingle capping (see _shingle_df) —
+    the knob that keeps the shingle self-join's hottest key bounded at
+    scale; Jaccard is then computed over the capped shingle universe
+    (sizes and intersections from the same filtered set, so the ratio
+    stays internally consistent)."""
+    sh = _shingle_df(d, max_df=max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -297,12 +313,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select(
             "doc_a", "doc_b", "n_common", "size_a", "size_b",
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (n-gram dedup).
+
+    Plan: explode distinct shingles → self-equi-join on shingle → count
+    common per pair → Jaccard from set sizes. Scale: the shingle join
+    shuffles on the shingle hash; ``jaccard_pairs(max_df=...)`` bounds the
+    hottest keys via stop-shingle capping, and the pair aggregation is a
+    second bounded shuffle. (MinHash below is the at-scale fast path; this
+    is the exact ground truth, so the gate query runs uncapped.)"""
+    return jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

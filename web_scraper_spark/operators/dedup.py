@@ -226,20 +226,65 @@ def build_bloom_shards(
     return partials.groupBy("shard").applyInPandas(_merge, schema=BLOOM_SHARD_SCHEMA)
 
 
+#: above this total filter size the broadcast probe stops being sane (driver
+#: collects every shard, each executor holds a full copy); the probe switches
+#: to the partition-aligned path automatically.
+BLOOM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _probe_hashes(
+    hashes: np.ndarray, bits: np.ndarray, m_bits: int, k: int
+) -> np.ndarray:
+    """Vectorized membership test of ``hashes`` against one shard bitset."""
+    hit = np.ones(hashes.size, bool)
+    for pos in _bloom_positions(hashes, k, m_bits):
+        hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+    return hit
+
+
 def bloom_probe(
     frontier: DataFrame,
     bloom_shards: DataFrame,
     key: str = "url_hash",
     n_shards: int = 32,
     out_col: str = "maybe_seen",
+    partition_aligned: bool | None = None,
 ) -> DataFrame:
     """Add ``out_col``: True if the bloom *may* contain the key (never a
-    false negative). Bitsets ship via Spark broadcast.
+    false negative). Two physical strategies, same result:
 
-    The probe is a SCALAR pandas UDF over the key column alone — only
-    8 bytes/row cross the Arrow boundary each way, while every other
-    column stays JVM-side (a mapInPandas variant that round-tripped whole
-    rows measured ~10× more serde volume and did not scale)."""
+    * **broadcast** (small filters): bitsets collect to the driver once and
+      ship as one broadcast; the probe is a SCALAR pandas UDF over the key
+      column alone — only 8 bytes/row cross the Arrow boundary each way,
+      while every other column stays JVM-side (a mapInPandas variant that
+      round-tripped whole rows measured ~10× more serde volume).
+    * **partition-aligned** (big filters): frontier rows and bitset shards
+      are co-grouped by ``pmod(key, n_shards)`` and probed per shard group
+      (cogroup + applyInPandas). No driver collect, no full-filter copy
+      anywhere — each task holds exactly one shard (m_bits/8 bytes), so a
+      1.2 GB/10^9-key filter at 10^10 seen keys probes with 12 GB spread
+      over n_shards tasks instead of 12 GB on the driver + every executor.
+      Costs one shuffle of the probed rows (all columns ride through
+      Arrow), which is why small filters stay on the broadcast path.
+
+    ``partition_aligned=None`` picks automatically from the filter's total
+    size (threshold BLOOM_BROADCAST_MAX_BYTES)."""
+    if partition_aligned is None:
+        geom = bloom_shards.select("m_bits").first()
+        total_bytes = 0 if geom is None else int(geom["m_bits"]) // 8 * n_shards
+        partition_aligned = total_bytes > BLOOM_BROADCAST_MAX_BYTES
+    if partition_aligned:
+        return _bloom_probe_aligned(frontier, bloom_shards, key, n_shards, out_col)
+    return _bloom_probe_broadcast(frontier, bloom_shards, key, n_shards, out_col)
+
+
+def _bloom_probe_broadcast(
+    frontier: DataFrame,
+    bloom_shards: DataFrame,
+    key: str,
+    n_shards: int,
+    out_col: str,
+) -> DataFrame:
     spark = frontier.sparkSession
     shards_local = {
         int(r["shard"]): (np.frombuffer(r["bits"], np.uint8), int(r["m_bits"]), int(r["k"]))
@@ -258,15 +303,55 @@ def bloom_probe(
             if entry is None:
                 continue  # empty shard → definitely not seen
             bits, m_bits, k = entry
-            hs = hashes[mask]
-            hit = np.ones(hs.size, bool)
-            for pos in _bloom_positions(hs, k, m_bits):
-                hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
-            maybe[mask] = hit
+            maybe[mask] = _probe_hashes(hashes[mask], bits, m_bits, k)
         return pd.Series(maybe)
 
     probe_udf = F.pandas_udf(_probe, T.BooleanType())
     return frontier.withColumn(out_col, probe_udf(F.col(key)))
+
+
+def _bloom_probe_aligned(
+    frontier: DataFrame,
+    bloom_shards: DataFrame,
+    key: str,
+    n_shards: int,
+    out_col: str,
+) -> DataFrame:
+    """Executor-resident probe: cogroup frontier rows with their bitset
+    shard on ``pmod(key, n_shards)``. The filter is never materialized
+    whole — not on the driver, not per executor."""
+    out_schema = T.StructType(
+        list(frontier.schema.fields) + [T.StructField(out_col, T.BooleanType())]
+    )
+    cols = frontier.columns
+    left = frontier.withColumn(
+        "__shard", F.pmod(F.col(key), F.lit(n_shards)).cast("int")
+    )
+    right = bloom_shards.select(
+        F.col("shard").alias("__shard"), "m_bits", "k", "bits"
+    )
+
+    def _probe_group(rows: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if rows.empty:
+            return pd.DataFrame(columns=list(rows.columns) + [out_col]).drop(
+                columns="__shard"
+            )
+        if shard.empty:
+            maybe = np.zeros(len(rows), bool)  # empty shard → definitely new
+        else:
+            m_bits, k = int(shard["m_bits"].iloc[0]), int(shard["k"].iloc[0])
+            bits = np.frombuffer(shard["bits"].iloc[0], np.uint8)
+            maybe = _probe_hashes(rows[key].to_numpy(np.int64), bits, m_bits, k)
+        out = rows.drop(columns="__shard").copy()
+        out[out_col] = maybe
+        return out
+
+    return (
+        left.groupBy("__shard")
+        .cogroup(right.groupBy("__shard"))
+        .applyInPandas(_probe_group, schema=out_schema)
+        .select(*cols, out_col)
+    )
 
 
 def mark_seen(
@@ -280,6 +365,7 @@ def mark_seen(
     bloom_min_seen: int = 20_000,
     out_col: str = "is_seen",
     bloom_shards: DataFrame | None = None,
+    bloom_partition_aligned: bool | None = False,
 ) -> DataFrame:
     """Flag variant of the dedup operator: adds ``out_col`` instead of
     filtering, so one downstream checkpoint can serve both the kept and the
@@ -291,6 +377,11 @@ def mark_seen(
     fly once the seen-set is big enough to beat the plain broadcast-hash
     anti-join (``bloom_min_seen``); below that the exact join is already
     one broadcast away and the build would cost more jobs than it saves.
+
+    ``bloom_partition_aligned``: False (default) = broadcast probe, True =
+    executor-resident cogroup probe, None = size-based auto (costs one tiny
+    geometry-lookup job — callers in a hot loop should pass an explicit
+    bool; CrawlEngine does).
     """
     if seen_keys is None:
         return batch.withColumn(out_col, F.lit(False))
@@ -304,7 +395,9 @@ def mark_seen(
             if bloom_shards is not None
             else build_bloom_shards(seen_keys, key, n_shards, fpr, n_keys_hint=seen_count)
         )
-        probed = bloom_probe(batch, shards, key, n_shards)
+        probed = bloom_probe(
+            batch, shards, key, n_shards, partition_aligned=bloom_partition_aligned
+        )
         definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen").withColumn(
             out_col, F.lit(False)
         )
@@ -331,6 +424,7 @@ def dedup_against_seen(
     n_shards: int = 32,
     fpr: float = 0.01,
     seen_count: int | None = None,
+    bloom_partition_aligned: bool | None = None,
 ) -> DataFrame:
     """The full dedup operator: bloom pre-filter (definite-negatives bypass
     the shuffle) + exact anti-join on the survivors. Equivalent to
@@ -339,7 +433,9 @@ def dedup_against_seen(
     if not use_bloom:
         return exact_anti_join_seen(frontier, seen, key)
     shards = build_bloom_shards(seen, key, n_shards, fpr, n_keys_hint=seen_count)
-    probed = bloom_probe(frontier, shards, key, n_shards)
+    probed = bloom_probe(
+        frontier, shards, key, n_shards, partition_aligned=bloom_partition_aligned
+    )
     definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     resolved = exact_anti_join_seen(maybe, seen, key)

@@ -85,27 +85,25 @@ def eligible(frontier: DataFrame, logical_now: F.Column | None = None) -> DataFr
     return frontier.filter(cond | retry)
 
 
-def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
-    """The next micro-batch: top ``batch_size`` rows in crawl order.
+def priority_cutoff(frontier: DataFrame, batch_size: int) -> list[tuple[int, int]]:
+    """Phase 1 of the two-phase micro-batch: the priorities that contribute
+    rows to the next batch, with their global seq offsets.
 
     One aggregation pass over the eligible frontier (per-priority counts —
-    rows proportional to DISTINCT priorities, not frontier size) feeds
-    both phases on the driver:
+    rows proportional to DISTINCT priorities, not frontier size). The
+    running-total window below is a single reducer, but over DISTINCT
+    priorities only — small, JVM-side, and flat in core count. (An
+    orderBy().limit(batch_size) pre-cut was tried and REVERTED:
+    TakeOrderedAndProject merges limit×partitions rows on the driver,
+    which anti-scales with parallelism. At 10^9+ distinct priorities,
+    bucket priorities into ranges first and apply the same two-phase
+    cutoff per range.)
 
-      1. cutoff: the smallest priority p with count(priority >= p) >=
-         batch_size bounds the slice that gets ranked;
-      2. offsets: cumulated counts give each priority its global seq base,
-         so ranking is a parallel per-priority window + broadcast-joined
-         offset — exact global order with no single-reducer sort.
-    """
-    spark = frontier.sparkSession
-    # distinct-priority counts with a running total. The window below is a
-    # single reducer, but over DISTINCT priorities only — small, JVM-side,
-    # and flat in core count. (An orderBy().limit(batch_size) pre-cut was
-    # tried and REVERTED: TakeOrderedAndProject merges limit×partitions
-    # rows on the driver, which anti-scales with parallelism. At 10^9+
-    # distinct priorities, bucket priorities into ranges first and apply
-    # the same two-phase cutoff per range.)
+    Returns [(priority, offset), ...] — bounded by batch_size entries, so
+    the collect is small regardless of how many distinct priorities exist.
+    The caller can derive exactly which frontier buckets hold these
+    priorities and feed :func:`rank_slice` a partition-pruned scan
+    (CrawlEngine does: SnapshotTable.read_buckets)."""
     pri_counts = frontier.groupBy("priority").count()
     run = pri_counts.withColumn(
         "running",
@@ -116,19 +114,28 @@ def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
         ),
     )
     # priorities that contribute rows to the batch: running total BEFORE
-    # them is still under batch_size. Bounded by batch_size rows → small
-    # collect, regardless of how many distinct priorities exist.
-    contributing = (
-        run.filter(F.col("running") - F.col("count") < batch_size)
+    # them is still under batch_size.
+    return [
+        (int(r["priority"]), int(r["__offset"]))
+        for r in run.filter(F.col("running") - F.col("count") < batch_size)
         .select("priority", (F.col("running") - F.col("count")).alias("__offset"))
         .collect()
-    )
-    if not contributing:
-        return frontier.withColumn("seq", F.lit(None).cast("long"))
-    cutoff = min(r["priority"] for r in contributing)
+    ]
+
+
+def rank_slice(
+    frontier: DataFrame, contributing: list[tuple[int, int]], batch_size: int
+) -> DataFrame:
+    """Phase 2: rank the contributing-priority slice into the micro-batch.
+
+    ``frontier`` may be (should be, at scale) a bucket-pruned read covering
+    at least the contributing priorities. Ranking is a parallel
+    per-priority window + broadcast-joined offsets — exact global order
+    with no single-reducer sort."""
+    spark = frontier.sparkSession
+    cutoff = min(p for p, _ in contributing)
     offsets = spark.createDataFrame(
-        [(r["priority"], int(r["__offset"])) for r in contributing],
-        "priority int, __offset long",
+        [(p, o) for p, o in contributing], "priority int, __offset long"
     )
     w = Window.partitionBy("priority").orderBy(
         F.col("position").asc(), F.col("url_hash").asc()
@@ -140,6 +147,17 @@ def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
         .drop("__offset")
     )
     return ranked.filter(F.col("seq") <= batch_size)
+
+
+def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
+    """The next micro-batch: top ``batch_size`` rows in crawl order —
+    priority_cutoff + rank_slice over the same (unpruned) frontier. The
+    engine calls the two phases separately so phase 2 runs on a
+    bucket-pruned snapshot read instead of the full frontier."""
+    contributing = priority_cutoff(frontier, batch_size)
+    if not contributing:
+        return frontier.withColumn("seq", F.lit(None).cast("long"))
+    return rank_slice(frontier, contributing, batch_size)
 
 
 def seed_frontier_from_site(site_graph: DataFrame) -> DataFrame:

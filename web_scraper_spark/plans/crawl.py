@@ -47,7 +47,13 @@ from pyspark.sql import functions as F
 from .. import schemas
 from ..functions.errors import backoff_seconds, classify_error, should_retry
 from ..operators.dedup import mark_seen
-from ..operators.frontier import eligible, order_cols, seed_frontier_from_site, take_batch
+from ..operators.frontier import (
+    eligible,
+    order_cols,
+    priority_cutoff,
+    rank_slice,
+    seed_frontier_from_site,
+)
 from ..operators.politeness import assign_waves, salted_repartition
 from ..sources.snapshots import CheckpointLog, SnapshotTable
 from ..sources.store import fetch_and_validate, join_payload_store
@@ -74,6 +80,9 @@ class CrawlEngine:
         bloom_min_seen: int = 20_000,
         bloom_capacity: int | None = None,
         bloom_shards_n: int = 32,
+        bloom_partition_aligned: bool = False,
+        max_storage_bytes: int | None = None,
+        fetch_timeout_s: float = 600.0,
     ):
         self.root = root
         self.batch_size = batch_size
@@ -84,6 +93,19 @@ class CrawlEngine:
         self.bloom_min_seen = bloom_min_seen
         self.bloom_capacity = bloom_capacity
         self.bloom_shards_n = bloom_shards_n
+        # False = broadcast probe (sandbox-sized filters). Flip True for
+        # 10^9+-key filters: the probe cogroups frontier rows with their
+        # bitset shard instead of collecting the filter to the driver.
+        self.bloom_partition_aligned = bloom_partition_aligned
+        # P9 storage gate (reference main_scraper.py:103-156): the crawl
+        # stops admitting batches once cumulative validated payload bytes
+        # reach the budget. Tracked in the checkpoint — no extra job.
+        self.max_storage_bytes = max_storage_bytes
+        # ST6 stall/timeout bound for the live fetch path (reference
+        # idm_downloader.py:236-301: kill transfers stalled past the
+        # window; video_processor.py:437: 600 s/item). The synthetic store
+        # cannot stall; sources/store.http_fetch_rows consumes this.
+        self.fetch_timeout_s = fetch_timeout_s
         os.makedirs(root, exist_ok=True)
         self.frontier = SnapshotTable(root, "frontier")
         self.seen = SnapshotTable(root, "seen")
@@ -178,8 +200,12 @@ class CrawlEngine:
         logical_s = float(ck["logical_s"]) + TICK_SECONDS
         next_seq = int(ck["next_seq"])
         seen_count = int(ck.get("seen_count", 0))
+        bytes_total = int(ck.get("payload_bytes_total", 0))
 
-        frontier = self.frontier.read(spark, v["frontier"])
+        # -- P9 storage gate: stop admitting batches past the byte budget --
+        if self.max_storage_bytes is not None and bytes_total >= self.max_storage_bytes:
+            return None
+
         seen = self.seen.read(spark, v["seen"])
         robots = self.robots.read(spark, v["robots"])
         bloom_shards = (
@@ -188,8 +214,29 @@ class CrawlEngine:
         now = self._logical_ts(logical_s)
 
         # -- take the micro-batch (window-ranked priority queue) ------------
-        elig = eligible(frontier, logical_now=now)
-        batch = take_batch(elig, self.batch_size).drop("seq")
+        # Phase 1 (cutoff): an aggregate over eligibility METADATA only —
+        # three columns reach the parquet scan, everything else is pruned.
+        frontier_full = self.frontier.read(spark, v["frontier"])
+        if frontier_full is None:
+            return None  # never-seeded table
+        frontier_meta = frontier_full.select("priority", "status", "next_attempt_ts")
+        contributing = priority_cutoff(
+            eligible(frontier_meta, logical_now=now), self.batch_size
+        )
+        if not contributing:
+            # nothing eligible now — if retryable failures exist in the
+            # future, jump the logical clock to the earliest retry time.
+            return self._clock_jump_or_done(
+                spark, ck, v, batch_id, next_seq, seen_count
+            )
+        # Phase 2 (rank): manifest-level partition pruning — read ONLY the
+        # frontier buckets that hold contributing priorities. Scan volume
+        # is O(batch priority buckets), not O(frontier).
+        need_buckets = sorted({p % N_FRONTIER_BUCKETS for p, _ in contributing})
+        pruned = self.frontier.read_buckets(spark, need_buckets, v["frontier"])
+        batch = rank_slice(
+            eligible(pruned, logical_now=now), contributing, self.batch_size
+        ).drop("seq")
 
         # -- annotate lazily, pin once --------------------------------------
         # in-batch duplicate guard (reference P1 dedupes within a page)
@@ -204,6 +251,7 @@ class CrawlEngine:
             bloom_min_seen=self.bloom_min_seen,
             bloom_shards=bloom_shards,
             n_shards=self.bloom_shards_n,
+            bloom_partition_aligned=self.bloom_partition_aligned,
         )
         batch = batch.withColumn("is_seen", F.col("is_seen") | F.col("__dup")).drop("__dup")
         batch = self._annotate_robots(batch, robots)
@@ -220,7 +268,7 @@ class CrawlEngine:
         )
         batch = batch.localCheckpoint(eager=True)
 
-        # -- ONE stats pass: totals, hot hosts, touched buckets -------------
+        # -- ONE stats pass: totals, hot hosts, touched buckets, id range ---
         host_rows = (
             batch.groupBy("host")
             .agg(
@@ -228,38 +276,23 @@ class CrawlEngine:
                 F.count_if(F.col("is_seen")).alias("n_seen"),
                 F.count_if(~F.col("is_seen") & F.col("blocked")).alias("n_blocked"),
                 F.count_if(sched).alias("n_sched"),
+                F.count_if(F.col("status") == "pending").alias("n_was_pending"),
                 F.collect_set(_bucket(F.col("priority"))).alias("buckets"),
+                F.min(F.when(sched, F.col("image_id"))).alias("min_id"),
+                F.max(F.when(sched, F.col("image_id"))).alias("max_id"),
             )
             .collect()
         )
-        n_raw = sum(r["n"] for r in host_rows)
-        if n_raw == 0:
-            # nothing eligible now — if retryable failures exist in the
-            # future, jump the logical clock to the earliest retry time.
-            nxt = (
-                frontier.filter(F.col("status") == "failed")
-                .agg(F.min("next_attempt_ts").alias("t"))
-                .collect()[0]["t"]
-            )
-            if nxt is None:
-                return None
-            self.checkpoints.commit(
-                batch_id,
-                {
-                    **self._carry_state(ck),
-                    "versions": v,
-                    "next_seq": next_seq,
-                    "logical_s": self._ts_to_logical(nxt),
-                    "seen_count": seen_count,
-                },
-            )
-            return {"batch_id": batch_id, "scheduled": 0, "clock_jump": True}
-
         n_sched = sum(r["n_sched"] for r in host_rows)
         n_skipped = sum(r["n_seen"] for r in host_rows)
         n_blocked = sum(r["n_blocked"] for r in host_rows)
+        n_was_pending = sum(r["n_was_pending"] for r in host_rows)
         hot_hosts = [r["host"] for r in host_rows if r["n_sched"] > HOT_HOST_SHARE * max(n_sched, 1)]
         touched = sorted({b for r in host_rows for b in r["buckets"]})
+        sched_ids = [r["min_id"] for r in host_rows if r["min_id"] is not None] + [
+            r["max_id"] for r in host_rows if r["max_id"] is not None
+        ]
+        id_range = (min(sched_ids), max(sched_ids)) if sched_ids else None
 
         # -- fetch + validate ------------------------------------------------
         scheduled = batch.filter(sched)
@@ -273,7 +306,7 @@ class CrawlEngine:
             # assign_waves runs a small counts aggregate, which must scan
             # the checkpointed batch, not the payload-join lineage
             waved = assign_waves(scheduled, self.per_host_parallelism)
-            withp = join_payload_store(waved, payload)
+            withp = join_payload_store(waved, payload, id_range=id_range)
             placed = salted_repartition(withp, self.n_partitions, hot_hosts=hot_hosts)
             results = fetch_and_validate(placed, fault_bc, self.verify_phash).localCheckpoint(
                 eager=True
@@ -404,7 +437,9 @@ class CrawlEngine:
         for p in parts[1:]:
             updates = updates.unionByName(p)
         updates = updates.withColumn("bucket", _bucket(F.col("priority")))
-        old_buckets = frontier.withColumn("bucket", _bucket(F.col("priority"))).filter(
+        # touched ⊆ need_buckets (batch priorities come from `contributing`),
+        # so the merge reads the already-pruned slice — never the full table
+        old_buckets = pruned.withColumn("bucket", _bucket(F.col("priority"))).filter(
             F.col("bucket").isin(touched)
         )
         merged_buckets = old_buckets.join(
@@ -423,27 +458,60 @@ class CrawlEngine:
             "failed": n_bad,
             "bytes": total_bytes,
         }
+        state = {
+            **self._carry_state(ck),
+            "versions": {
+                **v,  # preserve versions of tables this engine doesn't touch
+                "frontier": nfv,
+                "seen": sv,
+                "failures": fv2,
+                "payload_out": pv,
+                "schedule_log": tv,
+                "robots": v["robots"],
+                "bloom": bv,
+            },
+            "next_seq": next_seq + n_sched,
+            "logical_s": logical_s,
+            "seen_count": seen_count + n_ok,
+            "payload_bytes_total": bytes_total + total_bytes,
+            "stats": stats,
+        }
+        if "pending_detail" in ck:
+            # discovery plan's counter: batch rows that WERE pending left
+            # that state this batch (failed/retry rows were not pending)
+            state["pending_detail"] = int(ck["pending_detail"]) - n_was_pending
+        self.checkpoints.commit(batch_id, state)
+        return stats
+
+    def _clock_jump_or_done(
+        self, spark: SparkSession, ck: dict, v: dict, batch_id: int,
+        next_seq: int, seen_count: int,
+    ) -> dict | None:
+        """No eligible rows: crawl is complete (None) unless retryable
+        failures exist in the future — then jump the logical clock to the
+        earliest retry time. Rare path: the full-frontier scan here runs
+        only on empty batches, never per scheduled batch."""
+        frontier = self.frontier.read(spark, v["frontier"])
+        nxt = None
+        if frontier is not None:
+            nxt = (
+                frontier.filter(F.col("status") == "failed")
+                .agg(F.min("next_attempt_ts").alias("t"))
+                .collect()[0]["t"]
+            )
+        if nxt is None:
+            return None
         self.checkpoints.commit(
             batch_id,
             {
                 **self._carry_state(ck),
-                "versions": {
-                    **v,  # preserve versions of tables this engine doesn't touch
-                    "frontier": nfv,
-                    "seen": sv,
-                    "failures": fv2,
-                    "payload_out": pv,
-                    "schedule_log": tv,
-                    "robots": v["robots"],
-                    "bloom": bv,
-                },
-                "next_seq": next_seq + n_sched,
-                "logical_s": logical_s,
-                "seen_count": seen_count + n_ok,
-                "stats": stats,
+                "versions": v,
+                "next_seq": next_seq,
+                "logical_s": self._ts_to_logical(nxt),
+                "seen_count": seen_count,
             },
         )
-        return stats
+        return {"batch_id": batch_id, "scheduled": 0, "clock_jump": True}
 
     def run(self, spark: SparkSession, max_batches: int = 1000) -> list[dict]:
         out = []
@@ -497,6 +565,98 @@ class CrawlEngine:
     def failure_state(self, spark: SparkSession) -> DataFrame | None:
         """Latest failure record per url (merge-on-read upsert log)."""
         return self.failures.read_upsert_log(spark, key="url_hash", order_col="last_attempt_seq")
+
+    def audit_payload(
+        self,
+        spark: SparkSession,
+        payload_df: DataFrame | None = None,
+        seen_df: DataFrame | None = None,
+    ) -> DataFrame | None:
+        """Folder-tree rescan / audit (S15, reference main_scraper.py's
+        rescan of downloaded folders vs progress.json): reconcile the seen
+        log against payload_out AND re-validate every stored payload
+        (decode + dimension + phash recheck in one Arrow-batched pass).
+
+        Returns one row per image_id with category:
+          ok                — seen, stored, decodes, phash matches
+          seen_no_payload   — marked seen but no stored payload (the
+                              reference's mark-done-before-verify bug would
+                              show up here; this engine's commit order makes
+                              it structurally impossible)
+          payload_not_seen  — stored payload the seen log doesn't know
+          invalid_payload   — stored bytes fail decode/phash revalidation
+        Scale: full-outer on pre-aggregated ids + one map-only decode pass;
+        no full-table collect anywhere."""
+        from collections.abc import Iterator
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..functions.imaging import decode_validate_batch
+
+        seen = seen_df if seen_df is not None else self.seen.read(spark)
+        payload = payload_df if payload_df is not None else self.payload_out.read(spark)
+        if seen is None and payload is None:
+            return None
+        empty_ids = None
+        if seen is None or payload is None:
+            empty_ids = spark.createDataFrame([], "image_id string")
+
+        val_schema = T.StructType(
+            [
+                T.StructField("image_id", T.StringType()),
+                T.StructField("revalid_ok", T.BooleanType()),
+            ]
+        )
+
+        def _revalidate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for p in it:
+                if p.empty:
+                    continue
+                blob_s = pd.Series(
+                    [None if b is None else bytes(b) for b in p["bytes"]], dtype=object
+                )
+                val = decode_validate_batch(
+                    blob_s, p["fmt"].reset_index(drop=True),
+                    p["phash"].reset_index(drop=True),
+                )
+                ok = (
+                    val["ok"].to_numpy()
+                    & (val["w"].to_numpy() == p["w"].to_numpy())
+                    & (val["h"].to_numpy() == p["h"].to_numpy())
+                )
+                yield pd.DataFrame(
+                    {"image_id": p["image_id"].to_numpy(), "revalid_ok": ok}
+                )
+
+        stored = (
+            empty_ids.withColumn("revalid_ok", F.lit(None).cast("boolean"))
+            if payload is None
+            else payload.select("image_id", "bytes", "fmt", "phash", "w", "h").mapInPandas(
+                _revalidate, schema=val_schema
+            )
+        )
+        seen_ids = (
+            empty_ids
+            if seen is None
+            else seen.select("image_id").distinct()
+        )
+        joined = seen_ids.withColumn("in_seen", F.lit(True)).join(
+            stored.withColumn("in_payload", F.lit(True)), "image_id", "full_outer"
+        )
+        category = (
+            F.when(F.col("in_seen").isNull(), "payload_not_seen")
+            .when(F.col("in_payload").isNull(), "seen_no_payload")
+            .when(~F.col("revalid_ok"), "invalid_payload")
+            .otherwise("ok")
+        )
+        return joined.select(
+            "image_id",
+            F.coalesce("in_seen", F.lit(False)).alias("in_seen"),
+            F.coalesce("in_payload", F.lit(False)).alias("in_payload"),
+            "revalid_ok",
+            category.alias("category"),
+        )
 
     def metrics(self, spark: SparkSession) -> DataFrame | None:
         """Per-batch counters as a DataFrame (SURVEY §2.4 A1-A7). Metrics

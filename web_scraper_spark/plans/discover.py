@@ -105,6 +105,7 @@ class DiscoveringCrawlEngine(CrawlEngine):
                 "next_seq": 1,
                 "logical_s": 0.0,
                 "seen_count": 0,
+                "pending_detail": 0,
                 "site": {"n_pages": n_pages, "vpp": videos_per_page, "seed": seed},
             },
         )
@@ -130,9 +131,16 @@ class DiscoveringCrawlEngine(CrawlEngine):
         listing = self.listing.read(spark, v["listing"])
         pending_pages = listing.filter(F.col("status") == "pending")
         frontier = self.frontier.read(spark, v["frontier"])
-        n_pending_detail = (
-            0 if frontier is None else frontier.filter(F.col("status") == "pending").count()
-        )
+        # pending-detail count is maintained in the checkpoint (seeded 0 at
+        # init, +discovered here, −consumed in run_batch) — the per-batch
+        # full-frontier count() this replaces was an O(frontier) scan per
+        # micro-batch. Fallback to counting only for pre-counter checkpoints.
+        if "pending_detail" in ck:
+            n_pending_detail = int(ck["pending_detail"])
+        else:
+            n_pending_detail = (
+                0 if frontier is None else frontier.filter(F.col("status") == "pending").count()
+            )
         need = self.lookahead * self.batch_size - n_pending_detail
         if need <= 0:
             return False
@@ -195,7 +203,9 @@ class DiscoveringCrawlEngine(CrawlEngine):
         new_rows = new_rows.withColumn("bucket", _bucket(F.col("priority"))).localCheckpoint(
             eager=True
         )
-        touched = [r["bucket"] for r in new_rows.select("bucket").distinct().collect()]
+        bucket_counts = new_rows.groupBy("bucket").count().collect()
+        touched = [r["bucket"] for r in bucket_counts]
+        n_new = sum(r["count"] for r in bucket_counts)
         if not touched:
             fv = v["frontier"]  # everything already known — nothing to merge
         else:
@@ -232,8 +242,10 @@ class DiscoveringCrawlEngine(CrawlEngine):
         self.checkpoints.commit(
             ck["batch_id"] + 1,
             {
+                **self._carry_state(ck),
                 **{k: ck[k] for k in ("next_seq", "logical_s", "seen_count", "site")},
                 "versions": {**v, "frontier": fv, "listing": lv},
+                "pending_detail": n_pending_detail + n_new,
             },
         )
         return True

@@ -29,6 +29,21 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
+    # ST6 stall detection: bound how long a hung fetch/executor can wedge
+    # the job (the reference kills transfers stalled past a window,
+    # idm_downloader.py:236-301, and caps per-item work at 600 s,
+    # video_processor.py:437).
+    "spark.network.timeout": "600s",
+    "spark.executor.heartbeatInterval": "60s",
+}
+
+#: cluster-only stall handling: speculative re-launch of straggler tasks
+#: (the Spark answer to the reference's per-download watchdog). Applied only
+#: off local mode — a single-executor local JVM has nowhere to re-launch.
+_CLUSTER_DEFAULTS = {
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "4",
+    "spark.speculation.quantile": "0.9",
 }
 
 
@@ -55,6 +70,8 @@ def get_spark(
     )
     if master.startswith("local"):
         conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    else:
+        conf.update(_CLUSTER_DEFAULTS)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
