@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "simhash",
     "embedding_topk",
+    "dedup_embedding_cosine",
     "text_stats",
     "corpus_stats",
 ]
@@ -130,7 +131,14 @@ def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> di
             # priority cutoff below an ArrowEvalPython node
             batch = take_batch(frontier, batch_size).drop("seq").localCheckpoint(eager=True)
             probed = bloom_probe(batch, shards, n_shards=32)
-            fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            # pin the probed batch (as plans/crawl.py does): wave counts,
+            # the placement pass and the bloom update all branch from it —
+            # unpinned, each would re-run the probe UDF
+            fresh = (
+                probed.filter(~F.col("maybe_seen"))
+                .drop("maybe_seen")
+                .localCheckpoint(eager=True)
+            )
             waved = assign_waves(fresh, per_host_parallelism=3)
             placed = waved.withColumn("salt", F.pmod(F.col("fetch_wave"), F.lit(8)))
             force(placed)

@@ -27,13 +27,26 @@ def child(cpus: int, rows: int) -> None:
     from bench import fetch_validate_throughput, frontier_throughput
     from web_scraper_spark.session import get_spark
 
+    # IDENTICAL task decomposition at both parallelism levels (64 shuffle
+    # partitions for both) — only the core count varies, as on a real
+    # cluster where partitioning follows data size, not executor count.
+    # With partitions == cores, the small-N child sorts 4x bigger
+    # per-partition slices and spills, poisoning the baseline (measured:
+    # 280 s vs 46 s schedule leg -> a bogus super-linear 1.26).
     spark = get_spark(
-        app_name=f"wss-scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name=f"wss-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=64,
     )
-    frontier_throughput(spark, max(rows // 10, 24))  # warm plan + JIT + workers
-    fr = frontier_throughput(spark, rows)
-    fetch_validate_throughput(spark, n_images=2_000)  # warm
-    fetch_rate, _ = fetch_validate_throughput(spark, n_images=20_000)
+    # size the legs like a production micro-batch (minutes of work, not
+    # seconds): with seconds-long jobs, fixed driver/job-scheduling costs
+    # dominate and the measurement reads as Amdahl, not engine scaling.
+    # batch = rows/8 keeps the ranked slice proportional to the frontier.
+    batch = max(rows // 8, 24)
+    frontier_throughput(spark, max(rows // 10, 24), batch_size=max(batch // 10, 24))
+    fr = frontier_throughput(spark, rows, batch_size=batch)
+    fetch_validate_throughput(spark, n_images=8_000)  # warm
+    fetch_rate, _ = fetch_validate_throughput(spark, n_images=240_000)
     print(
         "CHILD_RESULT "
         + json.dumps({"cpus": cpus, **fr, "fetch_images_per_sec": round(fetch_rate, 1)})
@@ -72,12 +85,12 @@ def main() -> None:
     # per-core speed, 16 run at ~0.97×), so 8→32 would measure SMT
     # contention, not engine scaling. 4→16 stays within physical cores.
     n = 4
-    rows = 4_000_000
+    rows = 64_000_000
     if "--n" in sys.argv:
         n = int(sys.argv[sys.argv.index("--n") + 1])
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
-    rounds = 3
+    rounds = 2
     if "--rounds" in sys.argv:
         rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
     # The sandbox shares a noisy host: identical configs vary several-fold

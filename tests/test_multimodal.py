@@ -90,6 +90,46 @@ def test_lsh_finds_planted_near_duplicates(spark):
     assert found >= 36, f"only {found}/40 planted dups recovered"
 
 
+def test_ivf_finds_planted_near_duplicates(spark):
+    """IVF coarse quantization must recover planted near-dup pairs: a
+    vector and its tiny perturbation (cos ≈ 0.998) land in the same cell
+    (or within the query's nprobe=2 probed cells) essentially always —
+    misses require the pair to straddle a cell boundary AND the second
+    probe to miss, so a small miss budget is allowed."""
+    from web_scraper_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 32))
+    dups = base + 0.02 * rng.standard_normal((40, 32))
+    rows = [(i, base[i].tolist()) for i in range(40)] + [
+        (100 + i, dups[i].tolist()) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df, df.filter(F.col("vec_id") < 40), dim=32, k=1)
+    top1 = {r["q_id"]: r["neighbor_id"] for r in out.collect()}
+    found = sum(1 for i in range(40) if top1.get(i) == 100 + i)
+    assert found >= 36, f"only {found}/40 planted dups recovered"
+
+
+def test_ivf_subset_of_exact_on_corpus(spark):
+    """Every IVF result must carry the true cosine (exact re-rank of cell
+    mates), so each (q, neighbor, cos) appears in the brute-force ranking
+    with identical cos; and each query's hits must descend in rank order."""
+    from web_scraper_spark import analytics
+    from web_scraper_spark.operators.similarity import cosine_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = analytics.q_embedding_knn_ivf(spark, sf_dir).collect()
+    assert len(approx) > 0
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact_all = cosine_topk(e, e.filter(F.col("vec_id") < 20), k=499)
+    truth = {
+        (r["q_id"], r["neighbor_id"]): r["cos"] for r in exact_all.collect()
+    }
+    for r in approx:
+        assert truth[(r["q_id"], r["neighbor_id"])] == r["cos"]
+
+
 def test_lsh_subset_of_exact_on_corpus(spark):
     """On the sf corpus, every LSH result must carry the true cosine (it
     re-ranks exactly), so each (q, neighbor, cos) must appear in the

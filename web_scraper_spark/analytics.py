@@ -438,18 +438,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (token-hash bit-vote) — pure column
-    expressions: explode tokens → md5 → per-bit ±1 votes over the first 16
-    hex nibbles → sign bits reassembled into a 16-hex-char fingerprint.
-    Scale: one shuffle on doc_id; no UDF at all; the 16 nibble columns are
+def _simhash_votes(d: DataFrame) -> DataFrame:
+    """(doc_id, b0..b63): per-bit ±1 token votes of the 64-bit SimHash —
+    explode tokens → md5 → first 16 hex nibbles → 64 vote sums. Pure column
+    expressions, one shuffle on doc_id; the 16 nibble columns are
     materialized in one projection so the 64 vote aggregates reference
-    cheap int columns (not 64 re-derivations of the hash).
-
-    md5 (not xxhash64) on purpose: both Spark and DuckDB expose md5, so the
-    whole simhash — token hash, bit votes, sign assembly — is replayed
-    verbatim by the SQL oracle (value-level gate check, not rows-only)."""
-    d = _t(spark, sf_dir, "documents")
+    cheap int columns (not 64 re-derivations of the hash). Shared by
+    q_simhash (hex fingerprint) and q_dedup_simhash_pairs (banded pairs)."""
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     hx = toks.select("doc_id", F.md5("tok").alias("hx"))
 
@@ -458,7 +453,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(ch >= "a", F.ascii(ch) - 87).otherwise(F.ascii(ch) - 48)
 
     nibs = hx.select("doc_id", *[_nib(j).alias(f"n{j}") for j in range(16)])
-    votes = nibs.groupBy("doc_id").agg(
+    return nibs.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
@@ -470,6 +465,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]
     )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token-hash bit-vote): sign bits of the
+    vote sums reassembled into a 16-hex-char fingerprint.
+
+    md5 (not xxhash64) on purpose: both Spark and DuckDB expose md5, so the
+    whole simhash — token hash, bit votes, sign assembly — is replayed
+    verbatim by the SQL oracle (value-level gate check, not rows-only)."""
+    votes = _simhash_votes(_t(spark, sf_dir, "documents"))
     hex_chars = []
     for j in range(16):
         val = None
@@ -480,8 +485,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", F.concat(*hex_chars).alias("simhash"))
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB replay of q_simhash, generated from the same bit layout."""
+def _simhash_votes_sql() -> str:
+    """WITH-fragment replaying _simhash_votes in DuckDB (CTEs toks → hx →
+    nib → v, where v holds doc_id, b0..b63), generated from the same bit
+    layout. Shared by the simhash and dedup_simhash_pairs oracles."""
     nib_defs = ",\n       ".join(
         "CASE WHEN substr(hx, {p}, 1) >= 'a' THEN ascii(substr(hx, {p}, 1)) - 87 "
         "ELSE ascii(substr(hx, {p}, 1)) - 48 END AS n{j}".format(p=j + 1, j=j)
@@ -491,13 +498,6 @@ def _simhash_oracle_sql() -> str:
         f"sum(CASE WHEN ((n{i // 4} >> {3 - i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(64)
     )
-    nib_vals = [
-        " + ".join(f"(CASE WHEN b{4 * j + k} > 0 THEN {8 >> k} ELSE 0 END)" for k in range(4))
-        for j in range(16)
-    ]
-    concat = " ||\n       ".join(
-        f"substr('0123456789abcdef', 1 + {v}, 1)" for v in nib_vals
-    )
     return f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 hx AS (SELECT doc_id, md5(tok) AS hx FROM toks),
@@ -506,8 +506,120 @@ nib AS (SELECT doc_id,
 FROM hx),
 v AS (SELECT doc_id,
        {vote_defs}
-FROM nib GROUP BY doc_id)
+FROM nib GROUP BY doc_id)"""
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of q_simhash, generated from the same bit layout."""
+    nib_vals = [
+        " + ".join(f"(CASE WHEN b{4 * j + k} > 0 THEN {8 >> k} ELSE 0 END)" for k in range(4))
+        for j in range(16)
+    ]
+    concat = " ||\n       ".join(
+        f"substr('0123456789abcdef', 1 + {v}, 1)" for v in nib_vals
+    )
+    return f"""
+{_simhash_votes_sql()}
 SELECT doc_id, {concat} AS simhash FROM v
+"""
+
+
+#: simhash near-dup banding: 4 bands × 16 bits over the 64-bit fingerprint.
+#: Any pair within hamming distance 3 differs in at most 3 bands, so at
+#: least one band matches exactly (pigeonhole) — banded recall at the ≤3
+#: threshold is 1.0, which is what lets the quadratic oracle double as a
+#: value-level equivalence check, not just an approximation bound.
+_SIMHASH_BANDS = 4
+_SIMHASH_HAM_MAX = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS via LSH banding: 4×16-bit bands, pairs
+    sharing any band verified by exact hamming distance ≤ 3.
+
+    Scale shape: the self-join is on (band_id, band_val) — candidates per
+    band bucket, never all-pairs; the hamming verify touches candidates
+    only and is 4 bit_count(xor) column ops on the band ints (the 64-bit
+    fingerprint is never materialized as a single value, sidestepping
+    signed-int64 headaches in both engines). The DuckDB oracle computes the
+    QUADRATIC exact answer; equality with this banded plan is exactly the
+    pigeonhole recall guarantee (hamming ≤ 3 ⇒ ≥1 clean band of 4)."""
+    votes = _simhash_votes(_t(spark, sf_dir, "documents"))
+    band_cols = []
+    for j in range(_SIMHASH_BANDS):
+        val = None
+        for k in range(16):
+            term = F.when(F.col(f"b{16 * j + k}") > 0, F.lit(1 << (15 - k))).otherwise(
+                F.lit(0)
+            )
+            val = term if val is None else val + term
+        band_cols.append(val.alias(f"band{j}"))
+    bands = votes.select("doc_id", *band_cols)
+    sig = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"), F.col(f"band{j}").alias("band_val")
+                    )
+                    for j in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.band_id").alias("band_id"), F.col("s.band_val").alias("band_val"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "band_id", "band_val")
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "band_id", "band_val")
+    cand = (
+        sa.join(sb, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{j}").alias(f"a{j}") for j in range(_SIMHASH_BANDS)],
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{j}").alias(f"b{j}") for j in range(_SIMHASH_BANDS)],
+    )
+    ham = None
+    for j in range(_SIMHASH_BANDS):
+        term = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_HAM_MAX)
+    )
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """Exact quadratic ground truth for q_dedup_simhash_pairs: all pairs,
+    hamming from the same 4×16-bit band ints (same vote CTE), threshold 3.
+    Equality with the banded Spark plan proves the banding lost nothing."""
+    band_defs = ",\n       ".join(
+        " + ".join(
+            f"(CASE WHEN b{16 * j + k} > 0 THEN {1 << (15 - k)} ELSE 0 END)"
+            for k in range(16)
+        )
+        + f" AS band{j}"
+        for j in range(_SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.band{j}, b.band{j}))" for j in range(_SIMHASH_BANDS)
+    )
+    return f"""
+{_simhash_votes_sql()},
+bands AS (SELECT doc_id,
+       {band_defs}
+FROM v)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+WHERE {ham} <= {_SIMHASH_HAM_MAX}
 """
 
 
@@ -527,6 +639,36 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all (a, b) with
+    cosine ≥ 0.45, a < b — the dedup family's embedding member, and the
+    quadratic ground truth the LSH bucket path approximates.
+
+    Plan: broadcast one normalized side, equi-free range join on id order
+    (a < b halves the pair space), cosine in double via zip_with/aggregate
+    — all column exprs. Scale ladder: this exact form verifies samples /
+    bounded blocks; at corpus scale near-dup thresholds are ≥0.9 where the
+    random-hyperplane buckets of q_embedding_knn_lsh prune candidates to
+    tables·n/2^bits before this same exact filter re-ranks them. (The
+    testdata corpus tops out at cos≈0.51, so the demo threshold is 0.45.)"""
+    from .operators.similarity import _as_double, _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), _as_double("embedding").alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    b = e.select(
+        F.col("vec_id").alias("id_b"), _as_double("embedding").alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 5).alias("cos"))
+        .filter(F.col("cos") >= 0.45)
+    )
 
 
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +720,74 @@ cand AS (
   FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
                         AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 20
+),
+sim AS (
+  SELECT cand.q_id, cand.neighbor_id, list_cosine_similarity(qe.v, ce.v) AS cos
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.q_id
+  JOIN e ce ON ce.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM sim
+)
+SELECT q_id, neighbor_id, CAST(rk AS INT) AS rank, round(cos, 5) AS cos
+FROM r WHERE rk <= 3
+"""
+
+
+def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF (inverted-file) coarse quantization
+    (operators/similarity.ivf_topk). Each corpus vector is assigned to its
+    nearest of 8 seeded unit centroids; queries (vec_id < 20) probe their
+    2 nearest cells and exact-cosine re-rank only those cells' vectors —
+    per-query work nprobe·n/n_cells instead of n.
+
+    The centroids are FIXED by seed 7, so cell assignment, probing and
+    re-rank are deterministic and the DuckDB oracle (_ivf_oracle_sql, same
+    centroids as SQL literals) replays the whole pipeline value-for-value.
+    Recall vs the exact top-k is additionally asserted in
+    tests/test_multimodal.py."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 20), dim=64, k=3)
+
+
+def _ivf_oracle_sql(
+    dim: int = 64, n_cells: int = 8, nprobe: int = 2, seed: int = 7
+) -> str:
+    """DuckDB replay of q_embedding_knn_ivf: seeded centroids embedded as
+    double literals (repr() round-trips float64), cell = argmax dot (ORDER
+    BY dot DESC, cell DESC mirrors Spark's array_max tie-break), queries
+    probe nprobe cells, exact cosine re-rank of cell mates. Must stay in
+    lockstep with operators/similarity.ivf_centroids/ivf_topk."""
+    from .operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    score_selects = []
+    for i, c in enumerate(cents):
+        arr = ", ".join(repr(float(x)) for x in c)
+        score_selects.append(
+            f"SELECT vec_id, {i} AS cell, list_dot_product(v, [{arr}]) AS dot FROM e"
+        )
+    scores = "\n  UNION ALL ".join(score_selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (
+  {scores}
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
+  FROM sc
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+probe AS (SELECT vec_id, cell FROM ranked WHERE rk <= {nprobe} AND vec_id < 20),
+cand AS (
+  SELECT p.vec_id AS q_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
 ),
 sim AS (
   SELECT cand.q_id, cand.neighbor_id, list_cosine_similarity(qe.v, ce.v) AS cos
@@ -813,8 +1023,11 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "embedding_topk": q_embedding_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_knn_lsh": q_embedding_knn_lsh,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
     "lang_id": q_lang_id,
     "text_stats": q_text_stats,
     "corpus_stats": q_corpus_stats,
@@ -985,13 +1198,22 @@ SELECT doc_id, n_en, n_de, n_fr, n_es,
              WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END) = lang AS label_match
 FROM c
 """,
+    "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45
+""",
     "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint,
        md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fingerprint
 FROM documents
 """,
     "simhash": _simhash_oracle_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
     "embedding_knn_lsh": _lsh_oracle_sql(),
+    "embedding_knn_ivf": _ivf_oracle_sql(),
 }
 
 

@@ -85,42 +85,71 @@ def eligible(frontier: DataFrame, logical_now: F.Column | None = None) -> DataFr
     return frontier.filter(cond | retry)
 
 
+#: priorities per cutoff range (2^8): the level-1 aggregate groups 256
+#: consecutive priorities per row, so the only serial step runs over
+#: distinct_priorities/256 rows. Nest another level for 10^9+ priorities.
+_RANGE_SHIFT = 8
+
+
 def priority_cutoff(frontier: DataFrame, batch_size: int) -> list[tuple[int, int]]:
     """Phase 1 of the two-phase micro-batch: the priorities that contribute
     rows to the next batch, with their global seq offsets.
 
-    One aggregation pass over the eligible frontier (per-priority counts —
-    rows proportional to DISTINCT priorities, not frontier size). The
-    running-total window below is a single reducer, but over DISTINCT
-    priorities only — small, JVM-side, and flat in core count. (An
-    orderBy().limit(batch_size) pre-cut was tried and REVERTED:
-    TakeOrderedAndProject merges limit×partitions rows on the driver,
-    which anti-scales with parallelism. At 10^9+ distinct priorities,
-    bucket priorities into ranges first and apply the same two-phase
-    cutoff per range.)
+    Hierarchical, so no step is serial in the distinct-priority count:
 
-    Returns [(priority, offset), ...] — bounded by batch_size entries, so
-    the collect is small regardless of how many distinct priorities exist.
+      1. per-RANGE counts (range = priority >> 8, monotonic in priority) —
+         one parallel aggregate; the driver cumulates range totals in
+         descending order and keeps ranges whose preceding total is still
+         under ``batch_size`` (the boundary range resolves at level 2);
+      2. per-PRIORITY counts restricted to those candidate ranges — the
+         filter is a plain ``priority >= lo`` predicate (parquet min/max
+         prunable); the collected slice holds at most 256 priorities per
+         candidate range, so the driver-side cumulation is bounded by the
+         batch's priority spread, not the frontier.
+
+    (An orderBy().limit(batch_size) pre-cut was tried and REVERTED:
+    TakeOrderedAndProject merges limit×partitions rows on the driver,
+    which anti-scales with parallelism. A single-reducer running-sum
+    window over all distinct priorities — the previous design — was
+    measured as the schedule leg's Amdahl serial fraction at 166k
+    priorities and is exactly what step 1 removes.)
+
+    Returns [(priority, offset), ...] — bounded by batch_size entries.
     The caller can derive exactly which frontier buckets hold these
     priorities and feed :func:`rank_slice` a partition-pruned scan
     (CrawlEngine does: SnapshotTable.read_buckets)."""
-    pri_counts = frontier.groupBy("priority").count()
-    run = pri_counts.withColumn(
-        "running",
-        F.sum("count").over(
-            Window.orderBy(F.col("priority").desc()).rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
-    )
-    # priorities that contribute rows to the batch: running total BEFORE
-    # them is still under batch_size.
-    return [
-        (int(r["priority"]), int(r["__offset"]))
-        for r in run.filter(F.col("running") - F.col("count") < batch_size)
-        .select("priority", (F.col("running") - F.col("count")).alias("__offset"))
+    rng = F.shiftright(F.col("priority"), _RANGE_SHIFT)
+    range_rows = (
+        frontier.groupBy(rng.alias("__range"))
+        .count()
         .collect()
-    ]
+    )
+    if not range_rows:
+        return []
+    range_rows.sort(key=lambda r: r["__range"], reverse=True)
+    total = 0
+    cand_ranges = []
+    for r in range_rows:
+        if total >= batch_size:
+            break
+        cand_ranges.append(int(r["__range"]))
+        total += int(r["count"])
+    lo_priority = min(cand_ranges) << _RANGE_SHIFT
+    pri_rows = (
+        frontier.filter(F.col("priority") >= lo_priority)
+        .groupBy("priority")
+        .count()
+        .collect()
+    )
+    pri_rows.sort(key=lambda r: r["priority"], reverse=True)
+    out = []
+    offset = 0
+    for r in pri_rows:
+        if offset >= batch_size:
+            break
+        out.append((int(r["priority"]), offset))
+        offset += int(r["count"])
+    return out
 
 
 def rank_slice(

@@ -96,6 +96,90 @@ def lsh_signatures(
     ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
+def ivf_centroids(dim: int, n_cells: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids (the IVF "cell"
+    centers). In production these come from a k-means pass over a sample;
+    here they are seeded random directions so every run — Spark query,
+    DuckDB oracle, tests — shares the exact same quantizer."""
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_scores(vec_dbl: Column, cents: np.ndarray) -> Column:
+    """array<struct<dot,cell>>: dot of the vector with every centroid.
+    Centroids are unit-norm, so argmax dot == argmax cosine — the |v|
+    denominator is constant per row and drops out."""
+    return F.array(
+        *[
+            F.struct(
+                _dot(vec_dbl, F.array(*[F.lit(float(v)) for v in c])).alias("dot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each corpus vector lives in exactly one cell
+    (nearest centroid); each query probes its ``nprobe`` nearest cells and
+    exact-cosine re-ranks only the vectors in those cells.
+
+    Scale shape: cell assignment is a per-row argmax over ``n_cells``
+    codegen'd dot products — no shuffle, no UDF (array_max over
+    struct<dot,cell> is the argmax; ties break to the higher cell id,
+    mirrored by the oracle's ORDER BY dot DESC, cell DESC). The candidate
+    join is an equi-join on ``cell``, so per-query work drops to
+    nprobe·n/n_cells expected rows vs the brute-force n. At corpus scale,
+    partition the corpus by cell at write time and the probe prunes to
+    nprobe partitions per query block."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"))
+        .withColumn("cn", _norm(F.col("ce")))
+        .withColumn("cell", F.array_max(_cell_scores(F.col("ce"), cents)).getField("cell"))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), _as_double(vec_col).alias("qe"))
+        .withColumn("qn", _norm(F.col("qe")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.slice(
+                    F.sort_array(_cell_scores(F.col("qe"), cents), asc=False), 1, nprobe
+                ).getField("cell")
+            ),
+        )
+    )
+    sim = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
