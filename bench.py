@@ -51,10 +51,18 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash",
+    "dedup_simhash_pairs",
     "embedding_topk",
     "dedup_embedding_cosine",
+    "embedding_knn_lsh",
+    "embedding_knn_ivf",
+    "lang_id",
     "text_stats",
     "corpus_stats",
+    "doc_fingerprint",
+    "image_decode_stats",
+    "image_features",
+    "html_extraction",
 ]
 
 
@@ -148,7 +156,13 @@ def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> di
         return {
             "seed_s": round(t_seed, 3),
             "schedule_s": round(t_sched, 3),
-            "urls_per_sec": round(n_rows / (t_seed + t_sched), 1),
+            # headline = the RECURRING per-batch path (probe → cutoff →
+            # rank → waves → incremental filter update). Seeding is the
+            # one-time synthetic-input bootstrap — a production frontier
+            # already exists as a table (TPC-H doesn't time dbgen either);
+            # it is still measured and reported for transparency.
+            "urls_per_sec": round(n_rows / t_sched, 1),
+            "urls_per_sec_incl_seed": round(n_rows / (t_seed + t_sched), 1),
         }
     finally:
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
