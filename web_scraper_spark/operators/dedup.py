@@ -366,6 +366,7 @@ def mark_seen(
     out_col: str = "is_seen",
     bloom_shards: DataFrame | None = None,
     bloom_partition_aligned: bool | None = False,
+    filter_kind: str = "bloom",
 ) -> DataFrame:
     """Flag variant of the dedup operator: adds ``out_col`` instead of
     filtering, so one downstream checkpoint can serve both the kept and the
@@ -382,6 +383,11 @@ def mark_seen(
     executor-resident cogroup probe, None = size-based auto (costs one tiny
     geometry-lookup job — callers in a hot loop should pass an explicit
     bool; CrawlEngine does).
+
+    ``filter_kind``: "bloom" (default) or "cuckoo" — with "cuckoo",
+    ``bloom_shards`` carries cuckoo shards (operators/cuckoo.py) and the
+    probe/build route there. Same no-false-negative contract either way;
+    cuckoo adds delete support at a tighter FPR.
     """
     if seen_keys is None:
         return batch.withColumn(out_col, F.lit(False))
@@ -390,14 +396,26 @@ def mark_seen(
     if bloom_shards is not None or (
         use_bloom and (n is None or n >= bloom_min_seen)
     ):
-        shards = (
-            bloom_shards
-            if bloom_shards is not None
-            else build_bloom_shards(seen_keys, key, n_shards, fpr, n_keys_hint=seen_count)
-        )
-        probed = bloom_probe(
-            batch, shards, key, n_shards, partition_aligned=bloom_partition_aligned
-        )
+        if filter_kind == "cuckoo":
+            from .cuckoo import build_cuckoo_shards, cuckoo_probe
+
+            shards = (
+                bloom_shards
+                if bloom_shards is not None
+                else build_cuckoo_shards(seen_keys, key, n_shards, n_keys_hint=seen_count)
+            )
+            probed = cuckoo_probe(
+                batch, shards, key, n_shards, partition_aligned=bloom_partition_aligned
+            )
+        else:
+            shards = (
+                bloom_shards
+                if bloom_shards is not None
+                else build_bloom_shards(seen_keys, key, n_shards, fpr, n_keys_hint=seen_count)
+            )
+            probed = bloom_probe(
+                batch, shards, key, n_shards, partition_aligned=bloom_partition_aligned
+            )
         definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen").withColumn(
             out_col, F.lit(False)
         )

@@ -83,6 +83,7 @@ class CrawlEngine:
         bloom_partition_aligned: bool = False,
         max_storage_bytes: int | None = None,
         fetch_timeout_s: float = 600.0,
+        seen_filter: str = "bloom",
     ):
         self.root = root
         self.batch_size = batch_size
@@ -97,6 +98,11 @@ class CrawlEngine:
         # 10^9+-key filters: the probe cogroups frontier rows with their
         # bitset shard instead of collecting the filter to the driver.
         self.bloom_partition_aligned = bloom_partition_aligned
+        # "bloom" (append-only, 1% FPR default) or "cuckoo" (deletable,
+        # ~0.012% FPR — operators/cuckoo.py). Same sharding/probe contract.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+        self.seen_filter = seen_filter
         # P9 storage gate (reference main_scraper.py:103-156): the crawl
         # stops admitting batches once cumulative validated payload bytes
         # reach the budget. Tracked in the checkpoint — no extra job.
@@ -129,13 +135,17 @@ class CrawlEngine:
             # the incrementally-maintained seen-set filter (north rule):
             # geometry fixed at init, sized for the whole frontier. Never
             # rebuilt — per-batch cost is O(newly seen), not O(seen).
-            from ..operators.dedup import empty_bloom_shards
-
             spark = site_graph.sparkSession
             cap = self.bloom_capacity or max(site_graph.count() * 2, 10_000)
-            bv = self.bloom.commit_overwrite(
-                empty_bloom_shards(spark, self.bloom_shards_n, cap)
-            )
+            if self.seen_filter == "cuckoo":
+                from ..operators.cuckoo import empty_cuckoo_shards
+
+                empty = empty_cuckoo_shards(spark, self.bloom_shards_n, cap)
+            else:
+                from ..operators.dedup import empty_bloom_shards
+
+                empty = empty_bloom_shards(spark, self.bloom_shards_n, cap)
+            bv = self.bloom.commit_overwrite(empty)
         self.checkpoints.commit(
             0,
             {
@@ -252,6 +262,7 @@ class CrawlEngine:
             bloom_shards=bloom_shards,
             n_shards=self.bloom_shards_n,
             bloom_partition_aligned=self.bloom_partition_aligned,
+            filter_kind=self.seen_filter,
         )
         batch = batch.withColumn("is_seen", F.col("is_seen") | F.col("__dup")).drop("__dup")
         batch = self._annotate_robots(batch, robots)
@@ -353,11 +364,13 @@ class CrawlEngine:
             new_seen = ok.select("url_hash", "image_id", F.col("seq").alias("committed_seq"))
             sv = self.seen.commit_append(new_seen, base_version=v["seen"])
             if bloom_shards is not None:
-                # incremental maintenance: OR only the newly-seen keys in
-                from ..operators.dedup import update_bloom_shards
-
+                # incremental maintenance: fold only the newly-seen keys in
+                if self.seen_filter == "cuckoo":
+                    from ..operators.cuckoo import update_cuckoo_shards as _upd
+                else:
+                    from ..operators.dedup import update_bloom_shards as _upd
                 bv = self.bloom.commit_overwrite(
-                    update_bloom_shards(
+                    _upd(
                         bloom_shards, new_seen.select("url_hash"), n_shards=self.bloom_shards_n
                     )
                 )
