@@ -279,3 +279,20 @@ def test_audit_payload_clean_and_detects_tampering(spark, crawl):
     assert by_cat[corrupt_id] == "invalid_payload"
     assert by_cat["99999999"] == "payload_not_seen"
     assert len(by_cat) == 3
+
+
+def test_lineage_tracks_commit_provenance(spark, crawl):
+    """Every live file group of every state table names its creating
+    commit (per-partition lineage, ST8 / north star)."""
+    eng, oracle, _ = crawl
+    rows = eng.lineage(spark).collect()
+    assert rows and all(r["origin"] for r in rows)
+    by_table: dict[str, set] = {}
+    for r in rows:
+        by_table.setdefault(r["table"], set()).add(r["origin"])
+    assert by_table["robots"] == {"init"}
+    # payload/seen commit together: identical batch provenance
+    assert by_table["payload_out"] == by_table["seen"]
+    assert all(o.startswith("batch:") for o in by_table["payload_out"])
+    # the frontier merged at least one batch's buckets
+    assert any(o.startswith("batch:") for o in by_table["frontier"])

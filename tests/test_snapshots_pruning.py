@@ -62,3 +62,31 @@ def test_read_buckets_missing_buckets_returns_none(spark, tmp_path):
     assert table.read_buckets(spark, [99]) is None
     got = table.read_buckets(spark, [1, 2])
     assert sorted(r["id"] for r in got.collect()) == [1, 2, 5, 6, 9]
+
+
+def test_lineage_origins_survive_appends_and_merge_reuse(spark, tmp_path):
+    """Per-partition lineage (ST8): each live file group names the commit
+    that created it; bucket merges re-reference untouched groups WITHOUT
+    rewriting their origin (Iceberg-manifest provenance)."""
+    t = SnapshotTable(str(tmp_path), "lin")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), _bucket(F.col("id")).alias("bucket")
+    )
+    v1 = t.commit_overwrite_bucketed(base, "bucket", origin="init")
+    assert {e["origin"] for e in t.lineage(v1)} == {"init"}
+
+    # merge only bucket 0 — every other group must keep origin=init
+    upd = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit(0).cast("int").alias("bucket")
+    )
+    v2 = t.commit_merge_buckets(upd, "bucket", [0], base_version=v1, origin="batch:7")
+    by_bucket = {e["bucket"]: e["origin"] for e in t.lineage(v2)}
+    assert by_bucket[0] == "batch:7"
+    assert all(o == "init" for b, o in by_bucket.items() if b != 0)
+
+    # append-log table: one entry per committing batch
+    log = SnapshotTable(str(tmp_path), "log")
+    a = log.commit_overwrite(spark.range(3), origin="init")
+    b = log.commit_append(spark.range(3, 6), base_version=a, origin="batch:1")
+    c = log.commit_append(spark.range(6, 9), base_version=b, origin="batch:2")
+    assert [e["origin"] for e in log.lineage(c)] == ["init", "batch:1", "batch:2"]

@@ -128,8 +128,8 @@ class CrawlEngine:
         frontier = seed_frontier_from_site(site_graph).withColumn(
             "bucket", _bucket(F.col("priority"))
         )
-        fv = self.frontier.commit_overwrite_bucketed(frontier, "bucket")
-        rv = self.robots.commit_overwrite(robots) if robots is not None else 0
+        fv = self.frontier.commit_overwrite_bucketed(frontier, "bucket", origin="init")
+        rv = self.robots.commit_overwrite(robots, origin="init") if robots is not None else 0
         bv = 0
         if self.use_bloom:
             # the incrementally-maintained seen-set filter (north rule):
@@ -145,7 +145,7 @@ class CrawlEngine:
                 from ..operators.dedup import empty_bloom_shards
 
                 empty = empty_bloom_shards(spark, self.bloom_shards_n, cap)
-            bv = self.bloom.commit_overwrite(empty)
+            bv = self.bloom.commit_overwrite(empty, origin="init")
         self.checkpoints.commit(
             0,
             {
@@ -360,9 +360,13 @@ class CrawlEngine:
         bv = v.get("bloom", 0)
         if n_ok > 0:
             new_payload = ok.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
-            pv = self.payload_out.commit_append(new_payload, base_version=v["payload_out"])
+            pv = self.payload_out.commit_append(
+                new_payload, base_version=v["payload_out"], origin=f"batch:{batch_id}"
+            )
             new_seen = ok.select("url_hash", "image_id", F.col("seq").alias("committed_seq"))
-            sv = self.seen.commit_append(new_seen, base_version=v["seen"])
+            sv = self.seen.commit_append(
+                new_seen, base_version=v["seen"], origin=f"batch:{batch_id}"
+            )
             if bloom_shards is not None:
                 # incremental maintenance: fold only the newly-seen keys in
                 if self.seen_filter == "cuckoo":
@@ -372,7 +376,8 @@ class CrawlEngine:
                 bv = self.bloom.commit_overwrite(
                     _upd(
                         bloom_shards, new_seen.select("url_hash"), n_shards=self.bloom_shards_n
-                    )
+                    ),
+                    origin=f"batch:{batch_id}",
                 )
 
         failed_rows = None
@@ -392,14 +397,18 @@ class CrawlEngine:
                 (~F.col("retry")).alias("permanent"),
                 F.lit(next_seq + n_sched).alias("last_attempt_seq"),
             )
-            fv2 = self.failures.commit_append(new_failures, base_version=v["failures"])
+            fv2 = self.failures.commit_append(
+                new_failures, base_version=v["failures"], origin=f"batch:{batch_id}"
+            )
 
         tv = v["schedule_log"]
         if n_sched > 0:
             trace = scheduled.select(
                 "seq", "url", "url_hash", "image_id", F.lit(batch_id).alias("batch_id")
             )
-            tv = self.schedule_log.commit_append(trace, base_version=v["schedule_log"])
+            tv = self.schedule_log.commit_append(
+            trace, base_version=v["schedule_log"], origin=f"batch:{batch_id}"
+        )
 
         # -- frontier bucket merge --------------------------------------------
         null_str = F.lit(None).cast("string")
@@ -459,7 +468,8 @@ class CrawlEngine:
             F.broadcast(updates.select("url_hash").distinct()), "url_hash", "left_anti"
         ).unionByName(updates)
         nfv = self.frontier.commit_merge_buckets(
-            merged_buckets, "bucket", touched, base_version=v["frontier"]
+            merged_buckets, "bucket", touched, base_version=v["frontier"],
+            origin=f"batch:{batch_id}",
         )
 
         stats = {
@@ -578,6 +588,33 @@ class CrawlEngine:
     def failure_state(self, spark: SparkSession) -> DataFrame | None:
         """Latest failure record per url (merge-on-read upsert log)."""
         return self.failures.read_upsert_log(spark, key="url_hash", order_col="last_attempt_seq")
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-partition lineage from snapshot metadata (north star / ST8):
+        one row per live file group per state table — (table, version,
+        path, bucket, origin) where origin names the init/batch commit
+        that wrote the file group (re-referenced groups keep their
+        creator's tag, Iceberg-manifest style). Metadata-only — reads
+        manifests, never data files, so it is O(file groups) at any data
+        scale."""
+        rows = []
+        for t in (
+            self.frontier,
+            self.seen,
+            self.failures,
+            self.payload_out,
+            self.schedule_log,
+            self.robots,
+            self.bloom,
+        ):
+            rows.extend(t.lineage())
+        return spark.createDataFrame(
+            [
+                (r["table"], r["version"], r["path"], r["bucket"], r["origin"])
+                for r in rows
+            ],
+            "table string, version int, path string, bucket int, origin string",
+        )
 
     def audit_payload(
         self,

@@ -78,16 +78,16 @@ class DiscoveringCrawlEngine(CrawlEngine):
         listing = spark.createDataFrame(
             [(p, "pending") for p in range(1, n_pages + 1)], schema=LISTING_SCHEMA
         ).withColumn("bucket", _bucket(F.col("page")))
-        lv = self.listing.commit_overwrite_bucketed(listing, "bucket")
+        lv = self.listing.commit_overwrite_bucketed(listing, "bucket", origin="init")
         # empty (but valid, bucketed) frontier manifest
         empty = spark.createDataFrame([], schema=self._frontier_bucketed_schema())
-        fv = self.frontier.commit_overwrite_bucketed(empty, "bucket")
-        rv = self.robots.commit_overwrite(robots) if robots is not None else 0
+        fv = self.frontier.commit_overwrite_bucketed(empty, "bucket", origin="init")
+        rv = self.robots.commit_overwrite(robots, origin="init") if robots is not None else 0
         bv = 0
         if self.use_bloom:
             cap = self.bloom_capacity or max(n_pages * videos_per_page * 2, 10_000)
             bv = self.bloom.commit_overwrite(
-                empty_bloom_shards(spark, self.bloom_shards_n, cap)
+                empty_bloom_shards(spark, self.bloom_shards_n, cap), origin="init"
             )
         self.checkpoints.commit(
             0,
@@ -217,7 +217,8 @@ class DiscoveringCrawlEngine(CrawlEngine):
             else:
                 merged = new_rows
             fv = self.frontier.commit_merge_buckets(
-                merged, "bucket", touched, base_version=v["frontier"]
+                merged, "bucket", touched, base_version=v["frontier"],
+                origin=f"discover:{ck['batch_id'] + 1}",
             )
 
         # listing pages → done (bucket merge on the touched page buckets)
@@ -236,7 +237,8 @@ class DiscoveringCrawlEngine(CrawlEngine):
             .select("page", "status", "bucket")
         )
         lv = self.listing.commit_merge_buckets(
-            updated, "bucket", page_buckets, base_version=v["listing"]
+            updated, "bucket", page_buckets, base_version=v["listing"],
+            origin=f"discover:{ck['batch_id'] + 1}",
         )
 
         self.checkpoints.commit(

@@ -98,10 +98,14 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- writes
 
-    def commit_overwrite(self, df: DataFrame) -> int:
-        return self._commit_manifest([{"path": self._write_group(df), "bucket": None}])
+    def commit_overwrite(self, df: DataFrame, origin: str | None = None) -> int:
+        return self._commit_manifest(
+            [{"path": self._write_group(df), "bucket": None, "origin": origin}]
+        )
 
-    def commit_append(self, df: DataFrame, base_version: int | None = None) -> int:
+    def commit_append(
+        self, df: DataFrame, base_version: int | None = None, origin: str | None = None
+    ) -> int:
         """Append a file group on top of ``base_version`` (default: latest).
 
         Callers that coordinate multiple tables through a checkpoint MUST
@@ -111,10 +115,12 @@ class SnapshotTable:
         """
         base = self.latest_version() if base_version is None else base_version
         entries = list(self._manifest(base)["entries"])
-        entries.append({"path": self._write_group(df), "bucket": None})
+        entries.append({"path": self._write_group(df), "bucket": None, "origin": origin})
         return self._commit_manifest(entries)
 
-    def _write_bucketed(self, df: DataFrame, bucket_col: str) -> list[dict]:
+    def _write_bucketed(
+        self, df: DataFrame, bucket_col: str, origin: str | None = None
+    ) -> list[dict]:
         """One ``df.write.partitionBy(bucket)`` job → one manifest entry per
         bucket subdir. The bucket column is directory-encoded (dropped from
         data files), exactly parquet/Iceberg partition layout."""
@@ -124,15 +130,26 @@ class SnapshotTable:
         for d in os.listdir(base):
             if d.startswith(f"{bucket_col}="):
                 entries.append(
-                    {"path": os.path.join(base, d), "bucket": int(d.split("=", 1)[1])}
+                    {
+                        "path": os.path.join(base, d),
+                        "bucket": int(d.split("=", 1)[1]),
+                        "origin": origin,
+                    }
                 )
         return entries
 
-    def commit_overwrite_bucketed(self, df: DataFrame, bucket_col: str) -> int:
-        return self._commit_manifest(self._write_bucketed(df, bucket_col))
+    def commit_overwrite_bucketed(
+        self, df: DataFrame, bucket_col: str, origin: str | None = None
+    ) -> int:
+        return self._commit_manifest(self._write_bucketed(df, bucket_col, origin))
 
     def commit_merge_buckets(
-        self, df: DataFrame, bucket_col: str, bucket_values: list, base_version: int | None = None
+        self,
+        df: DataFrame,
+        bucket_col: str,
+        bucket_values: list,
+        base_version: int | None = None,
+        origin: str | None = None,
     ) -> int:
         """Replace the named buckets; re-reference every other file group
         untouched (Iceberg manifest reuse — O(batch) write cost, not
@@ -151,8 +168,30 @@ class SnapshotTable:
             )
         changed = set(bucket_values)
         entries = [e for e in prev if e["bucket"] not in changed]
-        entries.extend(self._write_bucketed(df, bucket_col))
+        entries.extend(self._write_bucketed(df, bucket_col, origin))
         return self._commit_manifest(entries)
+
+    # ------------------------------------------------------------ lineage
+
+    def lineage(self, version: int | None = None) -> list[dict]:
+        """Per-partition lineage from snapshot metadata (north star; SURVEY
+        ST8): which commit wrote each live file group of ``version``.
+        Re-referenced entries keep the origin of the commit that created
+        them — exactly Iceberg's manifest provenance. Metadata-only:
+        O(entries), no data files touched."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return []
+        return [
+            {
+                "table": self.name,
+                "version": v,
+                "path": e["path"],
+                "bucket": e.get("bucket"),
+                "origin": e.get("origin"),
+            }
+            for e in self._manifest(v)["entries"]
+        ]
 
     # -------------------------------------------------------------- reads
 
