@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "embedding_knn_ivf",
     "lang_id",
     "text_stats",
+    "token_counts",
     "corpus_stats",
     "doc_fingerprint",
     "image_decode_stats",

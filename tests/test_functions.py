@@ -236,3 +236,27 @@ def test_parse_upload_date_chain_and_sanity_window(spark):
     assert out[2] is None
     assert out[3] is None
     assert out[4] is None
+
+
+def test_bpe_tokenization_matches_hand_counts(spark):
+    """BPE-ish pre-tokenizer (analytics.BPE_TOKEN_RE): contraction
+    suffixes, space-prefixed runs, punctuation runs — counts verified
+    against hand-tokenized strings (the corpus text is plain words, so
+    the punctuation behaviour needs its own fixture)."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.analytics import BPE_TOKEN_RE
+
+    cases = [
+        # ("I", "'ll", " eat", " 2", " apples", ",", " won", "'t", " I", "?")
+        ("I'll eat 2 apples, won't I?", 10),
+        # ("e", ".", "g", ".", " v", "2", ".", "0", " --", " costs", " $", "3")
+        ("e.g. v2.0 -- costs $3", 12),
+        ("word", 1),
+        ("  ", 1),  # one whitespace run
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string").withColumn(
+        "n", F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    )
+    got = [r["n"] for r in df.collect()]
+    assert got == [n for _, n in cases]

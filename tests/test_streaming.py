@@ -81,3 +81,87 @@ def test_windowed_error_breakdown(spark, tmp_path):
     out = run_available_now(br, "err_break_t3", str(tmp_path / "ck3"))
     got = {r["error_class"]: r["n"] for r in out.collect()}
     assert got == {"rate_limit": 2, "network": 3}
+
+
+# ------------------------------------------------------- stateful dedup
+
+URL_SCHEMA = "url_hash long, url string, ts timestamp"
+
+
+def _urls(spark, path, rows):
+    spark.createDataFrame(rows, schema=URL_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_dedup(spark, path, ck, out, ttl_minutes=None):
+    """availableNow run with a DURABLE sink (parquet): append-mode memory
+    sinks refuse checkpoint recovery, and the whole point here is state
+    surviving restarts. Returns the accumulated (url_hash, url) multiset."""
+    from web_scraper_spark.streaming.dedup import first_seen_dedup
+
+    stream = (
+        spark.readStream.schema(URL_SCHEMA).option("maxFilesPerTrigger", 10).parquet(path)
+    )
+    q = (
+        first_seen_dedup(stream, ttl_minutes=ttl_minutes)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted((r["url_hash"], r["url"]) for r in spark.read.parquet(out).collect())
+
+
+def test_first_seen_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: first arrival emits, later arrivals fold
+    into per-key state — including across a checkpointed restart (the
+    streaming analogue of the engine's seen-set)."""
+    log, ck, out = (str(tmp_path / d) for d in ("urls", "ck", "out"))
+    _urls(spark, log, [
+        (1, "http://a.test/1", T0),
+        (2, "http://b.test/2", T0 + datetime.timedelta(seconds=5)),
+        (2, "http://b.test/2?later", T0 + datetime.timedelta(seconds=9)),
+    ])
+    out1 = _run_dedup(spark, log, ck, out)
+    assert out1 == [(1, "http://a.test/1"), (2, "http://b.test/2")]  # first ts wins
+
+    # restart from the checkpoint: only the never-seen key emits
+    _urls(spark, log, [
+        (2, "http://b.test/2?again", T0 + datetime.timedelta(minutes=1)),
+        (3, "http://c.test/3", T0 + datetime.timedelta(minutes=1)),
+    ])
+    out2 = _run_dedup(spark, log, ck, out)
+    assert sorted(set(out2) - set(out1)) == [(3, "http://c.test/3")]
+    assert len(out2) == 3  # key 2's re-arrival emitted nothing
+
+
+def test_first_seen_dedup_ttl_reopens_key(spark, tmp_path):
+    """Recrawl window in EVENT time: once the watermark passes a key's
+    last arrival + ttl, its state is evicted and the next arrival emits
+    again — P4's scoped dup window as a stream. Event-time timers keep
+    this fully deterministic (no wall-clock sleeps)."""
+    log, ck, out = (str(tmp_path / d) for d in ("urls_t", "ck_t", "out_t"))
+    ttl = 5.0  # minutes of EVENT time
+    _urls(spark, log, [(7, "http://r.test/7", T0)])
+    out1 = _run_dedup(spark, log, ck, out, ttl_minutes=ttl)
+    assert out1 == [(7, "http://r.test/7")]
+
+    # inside the window: re-arrival at +2 min dedupes (and extends last-seen)
+    _urls(spark, log, [(7, "http://r.test/7?dup", T0 + datetime.timedelta(minutes=2))])
+    out2 = _run_dedup(spark, log, ck, out, ttl_minutes=ttl)
+    assert len(out2) == 1
+
+    # another key at +30 min pushes the watermark past 2+5 min → key 7
+    # times out and is evicted in this run
+    _urls(spark, log, [(8, "http://r.test/8", T0 + datetime.timedelta(minutes=30))])
+    _run_dedup(spark, log, ck, out, ttl_minutes=ttl)
+
+    # key 7 re-arrives after eviction: emits again
+    _urls(spark, log, [(7, "http://r.test/7?recrawl", T0 + datetime.timedelta(minutes=31))])
+    out4 = _run_dedup(spark, log, ck, out, ttl_minutes=ttl)
+    assert (7, "http://r.test/7?recrawl") in out4
+    assert len(out4) == 3

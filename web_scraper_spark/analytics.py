@@ -862,6 +862,30 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer (GPT-2-style, ASCII-simplified): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: whitespace runs. Alternation is leftmost-first in BOTH Java regex
+#: (Spark) and RE2 (DuckDB), so token counts agree engine-for-engine.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document, both ways a training-data pipeline
+    needs it: whitespace tokens (the cheap budget estimate) and a BPE-ish
+    regex pre-tokenization (the LLM-tokenizer-shaped count — GPT-2's
+    pre-tokenizer split, minus the byte-level merges that need a learned
+    vocab). Pure column exprs; the regex runs JVM-side in one scan."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe.cast("double") / ws, 4).alias("bpe_per_ws"),
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup by language: doc counts, char volume, source spread
     (A4-style census over the documents table)."""
@@ -1023,6 +1047,7 @@ QUERIES = {
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "lang_id": q_lang_id,
     "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
     "corpus_stats": q_corpus_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "image_decode_stats": q_image_decode_stats,
@@ -1197,6 +1222,17 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 5) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45
+""",
+    "token_counts": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+       )) AS INT) AS n_bpe_tokens,
+       round(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+       )) * 1.0 / len(string_split(text, ' ')), 4) AS bpe_per_ws
+FROM documents
 """,
     "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint,
