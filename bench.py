@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "recent_window_dedup",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "sample_stratified",
     "dedup_minhash_lsh",
     "simhash",
     "dedup_simhash_pairs",

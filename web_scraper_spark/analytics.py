@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.errors import backoff_seconds, should_retry
+from .operators.clustering import dedup_clusters
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -331,6 +332,52 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     second bounded shuffle. (MinHash below is the at-scale fast path; this
     is the exact ground truth, so the gate query runs uncapped.)"""
     return jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters + canonical doc per cluster.
+
+    Pairwise dedup (the queries above) emits edges; a pipeline needs the
+    transitive closure — A~B, B~C collapses {A,B,C} to one kept document
+    even though the A-C pair was never emitted.  Plan: exact-Jaccard pairs
+    → distributed min-label propagation (operators/clustering.py) → size +
+    canonical flag per cluster.  Scale: each round is one node-keyed join
+    + groupBy-min, lineage cut per round; rounds = component diameter,
+    which for LSH-banded near-dup graphs (quasi-cliques) is 2-3
+    independent of corpus size.  Oracle: recursive CTE reachability in
+    DuckDB over the identical pair set."""
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    return dedup_clusters(pairs).select(
+        "doc_id", "canonical_id", "cluster_size", "is_canonical"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly ⌈20%·n⌉ docs per language.
+
+    Training-data pipelines subsample corpora with per-stratum quotas
+    (language, source, quality band); the selection must be deterministic
+    so re-runs and audits agree.  Rule: rank docs within each stratum by
+    md5(doc_id) (engine-agnostic uniform order) and keep the first
+    ⌈rate·n⌉.  Scale note: a per-stratum window sorts each stratum inside
+    one task — fine for language-count strata (≤ a few hundred, each
+    shuffle-partition-sized); for a skewed giant stratum, switch to the
+    two-pass hash-threshold variant (count per stratum, then filter
+    md5 < rate-quantile) which needs no per-stratum total order."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+            F.count("*").over(wc).cast("long").alias("stratum_n"),
+        )
+        .filter(F.col("sample_rank") <= F.ceil(F.col("stratum_n") * 0.2))
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,6 +1085,8 @@ QUERIES = {
     "recent_window_dedup": q_recent_window_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_stratified": q_sample_stratified,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1165,6 +1214,56 @@ FROM documents GROUP BY text
 """,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    # transitive closure of the Jaccard pair graph: recursive-CTE
+    # reachability (DuckDB) ≡ min-label propagation (Spark)
+    "dedup_clusters": """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+r(doc_id, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.doc_id
+),
+labels AS (SELECT doc_id, min(label) AS canonical_id FROM r GROUP BY doc_id),
+csize AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM labels GROUP BY canonical_id
+)
+SELECT l.doc_id, l.canonical_id, c.cluster_size,
+       l.doc_id = l.canonical_id AS is_canonical
+FROM labels l JOIN csize c ON c.canonical_id = l.canonical_id
+""",
+    "sample_stratified": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank,
+         count(*) OVER (PARTITION BY lang) AS stratum_n
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank, stratum_n
+FROM ranked
+WHERE sample_rank <= ceil(stratum_n * 0.2)
+""",
     "embedding_topk": """
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < 10),
