@@ -145,16 +145,15 @@ def fetch_and_validate(
             # no payload row at origin (and not already failed) -> 404
             missing = ~drop & ~has_body
             errors[missing] = "HTTP 404 not found"
-            errors = list(errors)
             fmt_s = pd.Series(list(pdf["origin_fmt"]), dtype=object)
             exp_ph = pd.Series(list(pdf["origin_phash"]), dtype=object) if verify_phash else None
             val = decode_validate_batch(blob_s, fmt_s, exp_ph)
-            fetched = pd.Series([e is None for e in errors])
+            # fetch error wins; else decode error; else None — mask
+            # selects on object arrays, no per-row walk
+            fetched = pd.isna(errors)
             ok = fetched & val["ok"].to_numpy()
-            err = [
-                errors[i] if errors[i] is not None else (None if ok.iloc[i] else val["error"].iloc[i])
-                for i in range(n)
-            ]
+            err = np.where(fetched, np.where(ok, None, val["error"].to_numpy(dtype=object)), errors)
+            blob_np = blob_s.to_numpy(dtype=object)
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].to_numpy(),
@@ -165,12 +164,9 @@ def fetch_and_validate(
                     "position": pdf["position"].to_numpy(),
                     "attempts": pdf["attempts"].to_numpy(),
                     "seq": pdf["seq"].to_numpy(),
-                    "ok": ok.to_numpy(),
+                    "ok": ok,
                     "error_msg": pd.Series(err, dtype=object),
-                    "bytes": pd.Series(
-                        [blob_s.iloc[i] if ok.iloc[i] else None for i in range(n)],
-                        dtype=object,
-                    ),
+                    "bytes": pd.Series(np.where(ok, blob_np, None), dtype=object),
                     "w": val["w"].to_numpy(),
                     "h": val["h"].to_numpy(),
                     "fmt": fmt_s,
