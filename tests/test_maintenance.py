@@ -1,0 +1,148 @@
+"""Snapshot maintenance: compact (small-file merge) + vacuum (snapshot
+expiry / orphan collection) — the Iceberg rewrite_data_files /
+expire_snapshots / remove_orphan_files equivalents on SnapshotTable, and
+the engine-level passes that keep crawl semantics byte-identical across a
+mid-crawl maintenance run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from web_scraper_spark.sources.snapshots import SnapshotTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+# ------------------------------------------------------------- compact
+
+
+def test_compact_append_log_preserves_rows(spark, tmp_root):
+    t = SnapshotTable(tmp_root, "log")
+    for i in range(4):
+        t.commit_append(_df(spark, i * 10, i * 10 + 10))
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    assert len(t._manifest(t.latest_version())["entries"]) == 4
+    v = t.compact(spark)
+    assert v == t.latest_version()
+    assert len(t._manifest(v)["entries"]) == 1
+    after = sorted(r["k"] for r in t.read(spark).collect())
+    assert after == before == list(range(40))
+    # appends continue on top of the compacted group
+    t.commit_append(_df(spark, 100, 105))
+    assert t.read(spark).count() == 45
+    assert len(t._manifest(t.latest_version())["entries"]) == 2
+
+
+def test_compact_single_group_is_noop(spark, tmp_root):
+    t = SnapshotTable(tmp_root, "log")
+    v = t.commit_append(_df(spark, 0, 5))
+    assert t.compact(spark) == v
+    assert t.latest_version() == v
+
+
+def test_compact_rejects_bucketed(spark, tmp_root):
+    t = SnapshotTable(tmp_root, "bk")
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id % 4 AS INT) AS b")
+    t.commit_overwrite_bucketed(df, "b")
+    with pytest.raises(ValueError):
+        t.compact(spark)
+
+
+# -------------------------------------------------------------- vacuum
+
+
+def test_vacuum_keeps_rereferenced_groups(spark, tmp_root):
+    # append log: every manifest re-references all prior groups, so
+    # expiring old versions must delete NO data
+    t = SnapshotTable(tmp_root, "log")
+    for i in range(3):
+        t.commit_append(_df(spark, i * 10, i * 10 + 10))
+    stats = t.vacuum(t.latest_version())
+    assert stats == {"dropped_versions": 2, "removed_groups": 0}
+    assert t.read(spark).count() == 30
+    # expired versions are gone (time travel below horizon)
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+
+
+def test_vacuum_removes_dereferenced_and_orphan_groups(spark, tmp_root):
+    t = SnapshotTable(tmp_root, "st")
+    t.commit_overwrite(_df(spark, 0, 10))
+    t.commit_overwrite(_df(spark, 50, 60))  # v1's group now unreferenced
+    os.makedirs(os.path.join(t.root, "data", "deadbeefcafe"))  # crash orphan
+    stats = t.vacuum(t.latest_version())
+    assert stats["dropped_versions"] == 1
+    assert stats["removed_groups"] == 2  # v1's group + the orphan dir
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(50, 60))
+
+
+def test_vacuum_bucketed_drops_only_replaced_buckets(spark, tmp_root):
+    t = SnapshotTable(tmp_root, "fr")
+    df = spark.range(0, 40).selectExpr("id AS k", "CAST(id % 4 AS INT) AS b")
+    t.commit_overwrite_bucketed(df, "b")
+    # replace bucket 0 twice: two superseded bucket-0 groups accumulate
+    for lo in (100, 200):
+        nb = spark.range(lo, lo + 5).selectExpr("id AS k", "CAST(0 AS INT) AS b")
+        t.commit_merge_buckets(nb, "b", [0])
+    stats = t.vacuum(t.latest_version())
+    assert stats["dropped_versions"] == 2
+    assert stats["removed_groups"] == 2  # the two stale bucket-0 groups
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == sorted(list(range(200, 205)) + [k for k in range(40) if k % 4 != 0])
+    assert sorted(r["k"] for r in t.read_buckets(spark, [0]).collect()) == list(
+        range(200, 205)
+    )
+
+
+def test_vacuum_keep_horizon_preserves_time_travel(spark, tmp_root):
+    t = SnapshotTable(tmp_root, "st")
+    for i in range(4):
+        t.commit_overwrite(_df(spark, i, i + 1))
+    t.vacuum(3)  # keep v3 and v4
+    assert [r["k"] for r in t.read(spark, version=3).collect()] == [2]
+    assert [r["k"] for r in t.read(spark, version=4).collect()] == [3]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=2)
+
+
+# ------------------------------------------------- engine-level passes
+
+
+def test_midcrawl_maintenance_preserves_trace(spark, tmp_path):
+    """Run 2 batches → compact_state + vacuum_state → resume with a fresh
+    engine object. Final trace + seen set must equal an uninterrupted
+    run's (maintenance is invisible to crawl semantics)."""
+    from tests.test_crawl_e2e import BATCH, _fixture, _run_engine
+    from web_scraper_spark.plans.crawl import CrawlEngine
+
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root)
+    full = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "full")
+
+    part = CrawlEngine(os.path.join(tmp_root, "m"), batch_size=BATCH, n_partitions=8)
+    part.attach_store(ppath, faults)
+    part.init(site, robots_df)
+    part.run_batch(spark)
+    part.run_batch(spark)
+    compacted = part.compact_state(spark)
+    assert set(compacted) == {"seen", "failures", "payload_out", "schedule_log"}
+    removed = part.vacuum_state(keep_checkpoints=1)
+    # per-batch bloom overwrites leave expired full-bitset copies behind;
+    # vacuum must reclaim at least those
+    assert sum(s["removed_groups"] for s in removed.values()) > 0
+
+    resumed = CrawlEngine(os.path.join(tmp_root, "m"), batch_size=BATCH, n_partitions=8)
+    resumed.attach_store(ppath, faults)
+    resumed.run(spark, max_batches=100)
+
+    a = [tuple(r) for r in full.crawl_order(spark).collect()]
+    b = [tuple(r) for r in resumed.crawl_order(spark).collect()]
+    assert a == b
+    sa = {tuple(r) for r in full.seen_set(spark).collect()}
+    sb = {tuple(r) for r in resumed.seen_set(spark).collect()}
+    assert sa == sb

@@ -545,6 +545,70 @@ class CrawlEngine:
             out.append(s)
         return out
 
+    # --------------------------------------------------------- maintenance
+
+    #: append-log tables that grow one file group per micro-batch and are
+    #: the compaction targets; frontier/robots/bloom rewrite whole
+    #: groups/buckets per commit and never fragment
+    _APPEND_LOGS = ("seen", "failures", "payload_out", "schedule_log")
+
+    def compact_state(
+        self, spark: SparkSession, target_partitions: int | None = None
+    ) -> dict[str, int]:
+        """Compact the append-log state tables and checkpoint the compacted
+        versions (Iceberg ``rewrite_data_files`` as an engine maintenance
+        pass). After 10^4 micro-batches each log is 10^4 file groups; reads
+        (resume, seen rebuild, audits) union all of them — this folds each
+        log back to one group. Row-preserving, so the crawl trace, seen set
+        and failure merge-on-read are byte-identical afterwards (asserted in
+        tests/test_maintenance.py). Run quiesced, between run() calls, like
+        any commit — the checkpoint it writes is what makes the compacted
+        versions visible to the next batch/resume (without it, later appends
+        would stack on the pre-compaction version and the work would be
+        orphaned). Mirrors the reference's folder-tree rescan/cleanup duty
+        (new/progress_handler.py:147-178) at the table layer."""
+        ck = self.checkpoints.latest()
+        if ck is None:
+            raise RuntimeError("compact_state: no checkpoint — init() first")
+        v = dict(ck["versions"])
+        out = {}
+        for name in self._APPEND_LOGS:
+            nv = getattr(self, name).compact(
+                spark, base_version=int(v.get(name, 0)),
+                target_partitions=target_partitions,
+            )
+            out[name] = v[name] = nv
+        state = {
+            **self._carry_state(ck),
+            "versions": v,
+            "next_seq": ck["next_seq"],
+            "logical_s": ck["logical_s"],
+            "seen_count": ck["seen_count"],
+        }
+        if "stats" in ck:
+            state["stats"] = ck["stats"]
+        self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
+        return out
+
+    def vacuum_state(self, keep_checkpoints: int = 1) -> dict[str, dict]:
+        """Expire table snapshots no retained checkpoint references and
+        collect unreferenced/orphaned data groups (Iceberg
+        ``expire_snapshots`` + ``remove_orphan_files``). The horizon per
+        table is the minimum version across the last ``keep_checkpoints``
+        checkpoints, so every resume point that is kept stays fully
+        readable; pass a larger ``keep_checkpoints`` to retain deeper
+        time travel. Metadata + file ops only — no Spark jobs. Run
+        quiesced, from the single writer."""
+        cks = self.checkpoints.all()
+        if not cks:
+            return {}
+        kept = cks[-max(1, keep_checkpoints):]
+        out = {}
+        for name in (*self._APPEND_LOGS, "frontier", "robots", "bloom"):
+            horizon = min(int(ck["versions"].get(name, 0)) for ck in kept)
+            out[name] = getattr(self, name).vacuum(horizon)
+        return out
+
     # -------------------------------------------------------- store hooks
 
     _payload_path: str | None = None

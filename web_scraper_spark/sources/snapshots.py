@@ -171,6 +171,94 @@ class SnapshotTable:
         entries.extend(self._write_bucketed(df, bucket_col, origin))
         return self._commit_manifest(entries)
 
+    # -------------------------------------------------------- maintenance
+
+    def compact(
+        self,
+        spark: SparkSession,
+        base_version: int | None = None,
+        target_partitions: int | None = None,
+        origin: str = "compact",
+    ) -> int:
+        """Small-file compaction (Iceberg's ``rewrite_data_files``): rewrite
+        the live snapshot's N file groups into one fresh group and commit it
+        as a new version. Row-preserving — the row multiset is unchanged, so
+        append-log and merge-on-read (upsert) semantics are identical; only
+        the file layout improves. An append log grows one group per
+        micro-batch (seen/payload/schedule_log), so after 10^4 batches a
+        read unions 10^4 groups of small files — compaction resets that to
+        one. Bucketed tables are rejected: ``commit_merge_buckets`` already
+        rewrites whole buckets, so each bucket is exactly one group and
+        there is nothing to merge. ``target_partitions`` additionally
+        coalesces the write (fewer, larger parquet files). Returns the new
+        version (or the base version untouched when ≤1 group)."""
+        base = self.latest_version() if base_version is None else base_version
+        entries = self._manifest(base)["entries"]
+        if any(e["bucket"] is not None for e in entries):
+            raise ValueError(
+                f"{self.name}: bucketed snapshots hold one group per bucket; "
+                "compaction targets append logs"
+            )
+        if len(entries) <= 1:
+            return base
+        df = spark.read.parquet(*[e["path"] for e in entries])
+        if target_partitions is not None:
+            df = df.coalesce(target_partitions)
+        return self._commit_manifest(
+            [{"path": self._write_group(df), "bucket": None, "origin": origin}]
+        )
+
+    def vacuum(self, keep_from_version: int) -> dict:
+        """Expire snapshots older than ``keep_from_version`` and delete every
+        data file group no kept manifest references — including
+        crash-orphaned groups that were written but never committed (the
+        commit protocol makes those harmless; this is where they are
+        collected). Re-referenced groups are safe: a group stays on disk as
+        long as ANY kept manifest lists it.
+
+        Single-writer operation, like commits: run it from the quiesced
+        writer, and pass a horizon no live checkpoint still needs —
+        ``CrawlEngine.vacuum_state`` computes that from its checkpoint log.
+        Time travel below the horizon is gone afterwards. Metadata + file
+        ops only; no Spark jobs. Returns ``{"dropped_versions": n,
+        "removed_groups": n}``."""
+        import shutil
+
+        latest = self.latest_version()
+        keep_from = max(1, min(keep_from_version, latest))
+        kept: set[str] = set()
+        for v in range(keep_from, latest + 1):
+            kept |= {e["path"] for e in self._manifest(v)["entries"]}
+        dropped_versions = 0
+        for v in range(1, keep_from):
+            mp = os.path.join(self.root, "manifests", f"v{v}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+                dropped_versions += 1
+        removed_groups = 0
+        data_root = os.path.join(self.root, "data")
+        for d in os.listdir(data_root):
+            base = os.path.join(data_root, d)
+            if base in kept:
+                continue
+            # bucketed layout: bucket=K subdirs are referenced individually;
+            # drop only the unreferenced ones (keep base-level _SUCCESS etc.)
+            subs = (
+                [os.path.join(base, s) for s in os.listdir(base) if "=" in s]
+                if os.path.isdir(base)
+                else []
+            )
+            live = [s for s in subs if s in kept]
+            if live:
+                for s in subs:
+                    if s not in kept:
+                        shutil.rmtree(s)
+                        removed_groups += 1
+            else:
+                shutil.rmtree(base)
+                removed_groups += 1
+        return {"dropped_versions": dropped_versions, "removed_groups": removed_groups}
+
     # ------------------------------------------------------------ lineage
 
     def lineage(self, version: int | None = None) -> list[dict]:
