@@ -72,6 +72,43 @@ def test_not_converged_raises(spark):
         )
 
 
+def test_random_graphs_match_union_find(spark):
+    """Property check: on seeded random edge lists, distributed min-label
+    propagation equals a plain union-find computed in the test."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(35)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots = {}
+        for v in list(parent):
+            roots.setdefault(find(v), []).append(v)
+        expected = {v: min(vs) for r, vs in roots.items() for v in vs}
+
+        cc = connected_components(_pairs(spark, edges))
+        got = {r["doc_id"]: r["canonical_id"] for r in cc.collect()}
+        assert got == expected, f"seed {seed}"
+
+
 def test_stratified_sample_deterministic_and_exact(spark):
     from web_scraper_spark import analytics
 
