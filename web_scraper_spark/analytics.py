@@ -234,16 +234,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: shingle DataFrames persisted by the current query — released on the next
-#: _shingle_df call (queries run sequentially) or explicitly via
-#: release_caches(). Without this, every jaccard/minhash query leaked one
-#: cached RDD into the shared session (executor storage memory grows
-#: unbounded across a 25-query gate run + bench loop).
+#: DataFrames persisted by the current query (shingle sets, simhash band
+#: tables) — released on the next _register_cache cycle (queries run
+#: sequentially) or explicitly via release_caches(). Without this, every
+#: dedup query leaked one cached RDD into the shared session (executor
+#: storage memory grows unbounded across a gate run + bench loop).
 _PERSISTED_SHINGLES: list[DataFrame] = []
 
 
 def release_caches() -> None:
-    """Unpersist any shingle cache left behind by the last dedup query."""
+    """Unpersist any cache left behind by the last dedup query."""
     while _PERSISTED_SHINGLES:
         _PERSISTED_SHINGLES.pop().unpersist()
 
@@ -601,7 +601,11 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             val = term if val is None else val + term
         band_cols.append(val.alias(f"band{j}"))
-    bands = votes.select("doc_id", *band_cols)
+    # three consumers below (band explode, both verify sides) would each
+    # recompute the 64-agg vote pass — persist the tiny per-doc band table
+    # once (n_docs × 5 ints; registered for release like the shingle caches)
+    bands = votes.select("doc_id", *band_cols).persist()
+    _PERSISTED_SHINGLES.append(bands)
     sig = bands.select(
         "doc_id",
         F.explode(
