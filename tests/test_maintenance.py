@@ -146,3 +146,41 @@ def test_midcrawl_maintenance_preserves_trace(spark, tmp_path):
     sa = {tuple(r) for r in full.seen_set(spark).collect()}
     sb = {tuple(r) for r in resumed.seen_set(spark).collect()}
     assert sa == sb
+
+
+def test_midcrawl_maintenance_preserves_discovery_state(spark, tmp_path):
+    """Same invariant for the discovery plan, whose checkpoint carries
+    extension keys (pending_detail, listing version) that compact_state's
+    maintenance checkpoint must pass through untouched."""
+    from tests.test_discovery import BATCH, N_PAGES, VPP, _fixture
+    from web_scraper_spark.plans.discover import DiscoveringCrawlEngine
+
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+
+    full = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "full"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    full.attach_store(ppath, faults)
+    full.init_discovery(spark, N_PAGES, VPP, robots)
+    full.run(spark, max_batches=200)
+
+    part = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "m"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    part.attach_store(ppath, faults)
+    part.init_discovery(spark, N_PAGES, VPP, robots)
+    part.run_batch(spark)
+    part.run_batch(spark)
+    part.compact_state(spark)
+    part.vacuum_state(keep_checkpoints=1)
+
+    resumed = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "m"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    resumed.attach_store(ppath, faults)
+    resumed.run(spark, max_batches=200)
+
+    assert [tuple(r) for r in resumed.crawl_order(spark).collect()] == [
+        tuple(r) for r in full.crawl_order(spark).collect()
+    ]
