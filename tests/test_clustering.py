@@ -109,6 +109,32 @@ def test_random_graphs_match_union_find(spark):
         assert got == expected, f"seed {seed}"
 
 
+def test_hash_threshold_sampler_properties(spark):
+    """Deterministic, shuffle-free, nested-by-rate, and rate-accurate on
+    the documents table."""
+    from web_scraper_spark import analytics
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = d.count()
+    s20 = analytics.sample_hash_threshold(d, 0.2)
+    s50 = analytics.sample_hash_threshold(d, 0.5)
+    ids20 = {r["doc_id"] for r in s20.select("doc_id").collect()}
+    ids50 = {r["doc_id"] for r in s50.select("doc_id").collect()}
+    # deterministic across runs
+    assert ids20 == {
+        r["doc_id"]
+        for r in analytics.sample_hash_threshold(d, 0.2).select("doc_id").collect()
+    }
+    # nested: the 20% sample is a subset of the 50% sample
+    assert ids20 <= ids50
+    # binomial tolerance around the rate (n is small at sf0.001)
+    assert 0.10 * n <= len(ids20) <= 0.32 * n
+    assert 0.38 * n <= len(ids50) <= 0.62 * n
+    # pure filter: no exchange in the physical plan
+    plan = s20._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_stratified_sample_deterministic_and_exact(spark):
     from web_scraper_spark import analytics
 

@@ -347,6 +347,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size.  Oracle: recursive CTE reachability in
     DuckDB over the identical pair set."""
     pairs = jaccard_pairs(_t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    # pair source: exact Jaccard here so the oracle replays the identical
+    # edge set; at corpus scale feed the MinHash/LSH candidate pairs
+    # (q_dedup_minhash_lsh's plan) — dedup_clusters takes any (a, b) edges
     return dedup_clusters(pairs).select(
         "doc_id", "canonical_id", "cluster_size", "is_canonical"
     )
@@ -378,6 +381,23 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= F.ceil(F.col("stratum_n") * 0.2))
     )
+
+
+def sample_hash_threshold(
+    d: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Skew-proof deterministic sampler: keep a row iff the first 8 hex
+    digits of md5(key) fall under ``rate``·16^8. The scale path the
+    stratified window sampler's docstring points at — a pure filter, no
+    window, no shuffle, no per-stratum total order, so one giant stratum
+    costs nothing extra; the trade is an approximate per-stratum rate
+    (binomial around ``rate``) instead of the window's exact ⌈r·n⌉ quota.
+    Selection depends only on (key, rate): re-runs, different partitioning,
+    and different engines agree row-for-row, and the kept set for rate r is
+    a SUBSET of the kept set for r' > r (nested samples — raising the rate
+    only adds rows, the property audits rely on)."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+    return d.filter(bucket.cast("long") < F.lit(int(rate * 16**8)))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
