@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "sample_stratified",
+    "token_heavy_hitters",
     "dedup_minhash_lsh",
     "simhash",
     "dedup_simhash_pairs",

@@ -400,6 +400,28 @@ def sample_hash_threshold(
     return d.filter(bucket.cast("long") < F.lit(int(rate * 16**8)))
 
 
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens by corpus frequency, ties broken by token —
+    the vocabulary/heavy-hitter pass every corpus audit starts with.
+
+    Plan shape at scale: explode → two-level aggregate (partial map-side
+    combine keeps the shuffle at distinct-token cardinality, not token
+    occurrences) → global TakeOrderedAndProject (each partition ships only
+    its top 20, never a full sort). The (count DESC, token ASC) total
+    order makes the cut deterministic on both engines even with ties at
+    the boundary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, verified by exact Jaccard.
 
@@ -1111,6 +1133,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "sample_stratified": q_sample_stratified,
+    "token_heavy_hitters": q_token_heavy_hitters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1275,6 +1298,16 @@ csize AS (
 SELECT l.doc_id, l.canonical_id, c.cluster_size,
        l.doc_id = l.canonical_id AS is_canonical
 FROM labels l JOIN csize c ON c.canonical_id = l.canonical_id
+""",
+    "token_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
 """,
     "sample_stratified": """
 WITH ranked AS (
