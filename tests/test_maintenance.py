@@ -148,6 +148,33 @@ def test_midcrawl_maintenance_preserves_trace(spark, tmp_path):
     assert sa == sb
 
 
+def test_time_travel_state_at_checkpoint(spark, tmp_path):
+    """state_at/crawl_order_at pin all tables to one checkpoint's
+    versions: the past trace is a strict prefix of the final one, and the
+    past seen set is the subset the crawl had committed by then."""
+    from tests.test_crawl_e2e import BATCH, _fixture, _run_engine
+
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "tt")
+
+    final = [tuple(r) for r in eng.crawl_order(spark).collect()]
+    past = [tuple(r) for r in eng.crawl_order_at(spark, 2).collect()]
+    assert 0 < len(past) < len(final)
+    assert final[: len(past)] == past
+
+    seen_past = {r["url_hash"] for r in eng.state_at(spark, 2)["seen"].collect()}
+    seen_final = {r["url_hash"] for r in eng.seen_set(spark).collect()}
+    assert seen_past < seen_final
+    # trace rows at ck2 correspond 1:1 to what was scheduled by then
+    assert max(r[0] for r in past) == len(past)
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        eng.state_at(spark, 10_000)
+
+
 def test_midcrawl_maintenance_preserves_discovery_state(spark, tmp_path):
     """Same invariant for the discovery plan, whose checkpoint carries
     extension keys (pending_detail, listing version) that compact_state's

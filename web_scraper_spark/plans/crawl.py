@@ -649,6 +649,42 @@ class CrawlEngine:
     def seen_set(self, spark: SparkSession) -> DataFrame | None:
         return self.seen.read(spark)
 
+    # ------------------------------------------------------- time travel
+
+    def checkpoint_at(self, batch_id: int) -> dict | None:
+        """The checkpoint committed for ``batch_id`` (None if never
+        committed — or expired by vacuum_state)."""
+        for ck in self.checkpoints.all():
+            if int(ck["batch_id"]) == batch_id:
+                return ck
+        return None
+
+    def state_at(self, spark: SparkSession, batch_id: int) -> dict[str, DataFrame | None]:
+        """Time travel: every state table exactly as the crawl saw it
+        after batch ``batch_id`` committed — {table: DataFrame|None} at
+        the versions that checkpoint recorded (Iceberg's
+        ``VERSION AS OF``, resolved through the engine's own multi-table
+        checkpoint so the tables are mutually consistent, not just
+        individually versioned). Metadata-cheap: ordinary snapshot reads
+        at pinned versions. Works for any checkpoint ``vacuum_state`` has
+        not expired; expired versions raise on read."""
+        ck = self.checkpoint_at(batch_id)
+        if ck is None:
+            raise KeyError(f"no checkpoint for batch_id={batch_id}")
+        out: dict[str, DataFrame | None] = {}
+        for name, ver in ck["versions"].items():
+            table = getattr(self, name, None)
+            if isinstance(table, SnapshotTable):
+                out[name] = table.read(spark, int(ver))
+        return out
+
+    def crawl_order_at(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
+        """The scheduled-fetch trace as of a past checkpoint — a prefix of
+        the final ``crawl_order`` by construction (append-only log +
+        monotone seq)."""
+        df = self.state_at(spark, batch_id).get("schedule_log")
+        return None if df is None else df.select("seq", "url", "image_id").orderBy("seq")
+
     def failure_state(self, spark: SparkSession) -> DataFrame | None:
         """Latest failure record per url (merge-on-read upsert log)."""
         return self.failures.read_upsert_log(spark, key="url_hash", order_col="last_attempt_seq")
