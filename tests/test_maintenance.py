@@ -110,6 +110,37 @@ def test_vacuum_keep_horizon_preserves_time_travel(spark, tmp_root):
         t.read(spark, version=2)
 
 
+def test_warm_start_from_prior_crawl_seen_set(spark, tmp_path):
+    """Cross-crawl warm start (reference loads historic seen IDs at
+    startup): a fresh crawl seeded with a completed crawl's seen set
+    schedules nothing it already has — trace empty, every crawlable row
+    skipped_seen, seen set unchanged."""
+    from pyspark.sql import functions as F
+
+    from tests.test_crawl_e2e import BATCH, _fixture, _run_engine
+    from web_scraper_spark.plans.crawl import CrawlEngine
+
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    a = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "a")
+    a_seen = a.seen_set(spark)
+    n_seen = a_seen.count()
+    assert n_seen > 0
+
+    b = CrawlEngine(os.path.join(tmp_root, "b"), batch_size=BATCH, n_partitions=8)
+    b.attach_store(ppath, faults)
+    b.init(site, robots_df, seen_seed=a_seen.select("url_hash", "image_id"))
+    stats = b.run(spark, max_batches=100)
+
+    assert sum(s["fetched_ok"] for s in stats) == 0
+    assert sum(s["dedup_skipped"] for s in stats) == n_seen
+    order = b.crawl_order(spark)
+    assert order is None or order.count() == 0
+    fr = b.frontier.read(spark)
+    assert fr.filter(F.col("status") == "skipped_seen").count() == n_seen
+    assert b.seen_set(spark).count() == n_seen  # nothing new appended
+
+
 # ------------------------------------------------- engine-level passes
 
 

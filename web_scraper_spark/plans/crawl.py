@@ -124,34 +124,61 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- init
 
-    def init(self, site_graph: DataFrame, robots: DataFrame | None = None) -> None:
+    def init(
+        self,
+        site_graph: DataFrame,
+        robots: DataFrame | None = None,
+        seen_seed: DataFrame | None = None,
+    ) -> None:
+        """Seed a new crawl. ``seen_seed``: (url_hash, image_id) rows
+        imported from a prior crawl's seen table (``engine.seen_set``) —
+        cross-crawl warm start, the reference's load-historic-IDs-at-startup
+        (new/duplicate_detection.py:102-165). Imported rows commit with
+        committed_seq=0 (pre-crawl) and fold into the seen filter at init,
+        so this crawl marks them skipped_seen instead of refetching."""
         frontier = seed_frontier_from_site(site_graph).withColumn(
             "bucket", _bucket(F.col("priority"))
         )
         fv = self.frontier.commit_overwrite_bucketed(frontier, "bucket", origin="init")
         rv = self.robots.commit_overwrite(robots, origin="init") if robots is not None else 0
+        sv, seed_count, seed_rows = 0, 0, None
+        if seen_seed is not None:
+            seed_rows = seen_seed.select("url_hash", "image_id").withColumn(
+                "committed_seq", F.lit(0).cast("long")
+            )
+            seed_count = seed_rows.count()
+            sv = self.seen.commit_overwrite(seed_rows, origin="init:seen_seed")
         bv = 0
         if self.use_bloom:
             # the incrementally-maintained seen-set filter (north rule):
-            # geometry fixed at init, sized for the whole frontier. Never
-            # rebuilt — per-batch cost is O(newly seen), not O(seen).
+            # geometry fixed at init, sized for the whole frontier plus any
+            # imported seen set. Never rebuilt — per-batch cost is O(newly
+            # seen), not O(seen).
             spark = site_graph.sparkSession
-            cap = self.bloom_capacity or max(site_graph.count() * 2, 10_000)
+            cap = self.bloom_capacity or max(
+                (site_graph.count() + seed_count) * 2, 10_000
+            )
             if self.seen_filter == "cuckoo":
                 from ..operators.cuckoo import empty_cuckoo_shards
+                from ..operators.cuckoo import update_cuckoo_shards as _upd
 
-                empty = empty_cuckoo_shards(spark, self.bloom_shards_n, cap)
+                filt = empty_cuckoo_shards(spark, self.bloom_shards_n, cap)
             else:
                 from ..operators.dedup import empty_bloom_shards
+                from ..operators.dedup import update_bloom_shards as _upd
 
-                empty = empty_bloom_shards(spark, self.bloom_shards_n, cap)
-            bv = self.bloom.commit_overwrite(empty, origin="init")
+                filt = empty_bloom_shards(spark, self.bloom_shards_n, cap)
+            if seed_rows is not None:
+                filt = _upd(
+                    filt, seed_rows.select("url_hash"), n_shards=self.bloom_shards_n
+                )
+            bv = self.bloom.commit_overwrite(filt, origin="init")
         self.checkpoints.commit(
             0,
             {
                 "versions": {
                     "frontier": fv,
-                    "seen": 0,
+                    "seen": sv,
                     "failures": 0,
                     "payload_out": 0,
                     "schedule_log": 0,
@@ -160,7 +187,7 @@ class CrawlEngine:
                 },
                 "next_seq": 1,
                 "logical_s": 0.0,
-                "seen_count": 0,
+                "seen_count": seed_count,
             },
         )
 
