@@ -141,6 +141,43 @@ def test_warm_start_from_prior_crawl_seen_set(spark, tmp_path):
     assert b.seen_set(spark).count() == n_seen  # nothing new appended
 
 
+def test_warm_start_discovery_skips_imported_urls(spark, tmp_path):
+    """Discovery warm start: URLs discovered by listing extraction that
+    are already in the imported seen set go skipped_seen, not fetched."""
+    from pyspark.sql import functions as F
+
+    from tests.test_discovery import BATCH, N_PAGES, VPP, _fixture
+    from web_scraper_spark.plans.discover import DiscoveringCrawlEngine
+
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+
+    a = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "a"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    a.attach_store(ppath, faults)
+    a.init_discovery(spark, N_PAGES, VPP, robots)
+    a.run(spark, max_batches=200)
+    a_seen = a.seen_set(spark)
+    n_seen = a_seen.count()
+
+    b = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "b"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    b.attach_store(ppath, faults)
+    b.init_discovery(
+        spark, N_PAGES, VPP, robots, seen_seed=a_seen.select("url_hash", "image_id")
+    )
+    stats = b.run(spark, max_batches=200)
+
+    # discovery-only batches emit their own stat keys — default to 0
+    assert sum(s.get("fetched_ok", 0) for s in stats) == 0
+    assert sum(s.get("dedup_skipped", 0) for s in stats) == n_seen
+    fr = b.frontier.read(spark)
+    assert fr.filter(F.col("status") == "skipped_seen").count() == n_seen
+    assert b.seen_set(spark).count() == n_seen
+
+
 # ------------------------------------------------- engine-level passes
 
 
