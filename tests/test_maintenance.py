@@ -178,6 +178,53 @@ def test_warm_start_discovery_skips_imported_urls(spark, tmp_path):
     assert b.seen_set(spark).count() == n_seen
 
 
+@pytest.mark.parametrize("seen_filter", ["bloom", "cuckoo"])
+def test_requeue_recrawls_exactly_the_reopened_urls(spark, tmp_path, seen_filter):
+    """Recrawl window: requeue removes the keys from the seen log and the
+    seen filter (cuckoo deletes in place; bloom rebuilds at fixed
+    geometry), flips the frontier rows to pending, and the next run
+    refetches exactly those URLs."""
+    from pyspark.sql import functions as F
+
+    from tests.test_crawl_e2e import BATCH, _fixture, _run_engine
+
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = _run_engine(
+        spark, tmp_root, site, robots_df, ppath, faults, "rq", seen_filter=seen_filter
+    )
+    seen0 = eng.seen_set(spark)
+    n0 = seen0.count()
+    trace0 = eng.crawl_order(spark).count()
+
+    reopen = seen0.orderBy("url_hash").limit(10).select("url_hash")
+    stats = eng.requeue(spark, reopen)
+    assert stats["seen_removed"] == 10
+    assert stats["requeued"] == 10
+    assert stats["filter"] == (
+        "cuckoo-delete" if seen_filter == "cuckoo" else "bloom-rebuild"
+    )
+    assert eng.seen_set(spark).count() == n0 - 10
+    fr = eng.frontier.read(spark)
+    assert fr.filter(F.col("status") == "pending").count() == 10
+
+    runs = eng.run(spark, max_batches=50)
+    assert sum(s.get("fetched_ok", 0) for s in runs) == 10
+    assert eng.seen_set(spark).count() == n0
+    # the refetched URLs are exactly the reopened ones, appended after
+    # the original trace
+    new_trace = eng.crawl_order(spark)
+    assert new_trace.count() == trace0 + 10
+    refetched = {
+        r["url_hash"]
+        for r in eng.seen_set(spark)
+        .join(reopen, "url_hash", "semi")
+        .select("url_hash")
+        .collect()
+    }
+    assert refetched == {r["url_hash"] for r in reopen.collect()}
+
+
 # ------------------------------------------------- engine-level passes
 
 

@@ -617,6 +617,117 @@ class CrawlEngine:
         self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
         return out
 
+    def requeue(self, spark: SparkSession, url_hashes: DataFrame) -> dict:
+        """Recrawl: re-open previously crawled URLs (recrawl window /
+        retraction — the operation the deletable cuckoo seen-set exists
+        for). For each key in ``url_hashes.url_hash``:
+
+          * its seen rows are removed (anti-join rewrite of the seen log —
+            a compaction-sized maintenance op, O(seen));
+          * its key leaves the seen filter: cuckoo deletes in place
+            (operators/cuckoo.delete_cuckoo_shards); Bloom cannot delete,
+            so the filter is rebuilt at its existing fixed geometry from
+            the remaining seen keys (O(seen), documented trade of the
+            non-deletable filter);
+          * its frontier row flips back to pending with attempts reset,
+            via a per-bucket merge touching only the affected priority
+            buckets;
+          * a maintenance checkpoint commits the new versions (without it
+            the next batch would resume pre-requeue state).
+
+        Run quiesced, between run() calls, like compact_state. The requeue
+        set is broadcast — it is batch-sized by assumption (a recrawl
+        window's expiry slice), not corpus-sized."""
+        ck = self.checkpoints.latest()
+        if ck is None:
+            raise RuntimeError("requeue: no checkpoint — init() first")
+        v = dict(ck["versions"])
+        keys = url_hashes.select("url_hash").distinct().localCheckpoint(eager=True)
+
+        seen = self.seen.read(spark, int(v["seen"]))
+        n_removed = 0
+        if seen is not None:
+            n_removed = seen.join(F.broadcast(keys), "url_hash", "semi").count()
+            remaining = seen.join(F.broadcast(keys), "url_hash", "left_anti")
+            v["seen"] = self.seen.commit_overwrite(remaining, origin="requeue")
+
+        filter_mode = "none"
+        if self.use_bloom and n_removed > 0:
+            shards = self.bloom.read(spark, int(v["bloom"]))
+            if self.seen_filter == "cuckoo":
+                from ..operators.cuckoo import delete_cuckoo_shards
+
+                new_shards = delete_cuckoo_shards(
+                    shards, keys, n_shards=self.bloom_shards_n
+                )
+                filter_mode = "cuckoo-delete"
+            else:
+                from ..operators.dedup import BLOOM_SHARD_SCHEMA, update_bloom_shards
+
+                g = shards.select("m_bits", "k").first()
+                zero = bytes(int(g["m_bits"]) // 8)
+                empty = spark.createDataFrame(
+                    [
+                        (s, int(g["m_bits"]), int(g["k"]), zero)
+                        for s in range(self.bloom_shards_n)
+                    ],
+                    schema=BLOOM_SHARD_SCHEMA,
+                )
+                rebuilt_from = self.seen.read(spark, int(v["seen"]))
+                new_shards = (
+                    update_bloom_shards(
+                        empty,
+                        rebuilt_from.select("url_hash"),
+                        n_shards=self.bloom_shards_n,
+                    )
+                    if rebuilt_from is not None
+                    else empty
+                )
+                filter_mode = "bloom-rebuild"
+            v["bloom"] = self.bloom.commit_overwrite(new_shards, origin="requeue")
+
+        frontier = self.frontier.read(spark, int(v["frontier"]))
+        n_requeued = 0
+        if frontier is not None:
+            affected = frontier.join(F.broadcast(keys), "url_hash", "inner")
+            null_str = F.lit(None).cast("string")
+            null_ts = F.lit(None).cast("timestamp")
+            updates = affected.select(
+                "url", "url_hash", "host", "image_id", "priority", "position",
+                F.lit("pending").alias("status"), F.lit(0).alias("attempts"),
+                null_str.alias("error_class"), null_ts.alias("next_attempt_ts"),
+            ).withColumn("bucket", _bucket(F.col("priority"))).localCheckpoint(eager=True)
+            n_requeued = updates.count()
+            if n_requeued > 0:
+                touched = [
+                    r["bucket"] for r in updates.select("bucket").distinct().collect()
+                ]
+                old = (
+                    self.frontier.read_buckets(spark, touched, int(v["frontier"]))
+                    .withColumn("bucket", _bucket(F.col("priority")))
+                    .join(F.broadcast(keys), "url_hash", "left_anti")
+                )
+                v["frontier"] = self.frontier.commit_merge_buckets(
+                    old.unionByName(updates), "bucket", touched,
+                    base_version=int(v["frontier"]), origin="requeue",
+                )
+
+        state = {
+            **self._carry_state(ck),
+            "versions": v,
+            "next_seq": ck["next_seq"],
+            "logical_s": ck["logical_s"],
+            "seen_count": int(ck["seen_count"]) - n_removed,
+        }
+        if "stats" in ck:
+            state["stats"] = ck["stats"]
+        self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
+        return {
+            "requeued": n_requeued,
+            "seen_removed": n_removed,
+            "filter": filter_mode,
+        }
+
     def vacuum_state(self, keep_checkpoints: int = 1) -> dict[str, dict]:
         """Expire table snapshots no retained checkpoint references and
         collect unreferenced/orphaned data groups (Iceberg
