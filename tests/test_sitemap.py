@@ -68,6 +68,33 @@ def test_malformed_and_wrong_root_quarantined():
     assert parse_sitemap_text("<html><body>404</body></html>") == ("error", [])
 
 
+def test_site_graph_from_seeds_feeds_engine_init(spark, tmp_path):
+    """Sitemap seeds run through the unmodified engine: init accepts the
+    converted site graph and the frontier ranks by sitemap priority."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.functions.sitemap import site_graph_from_seeds
+    from web_scraper_spark.plans.crawl import CrawlEngine
+
+    fetched = spark.createDataFrame(
+        [("a.example.test", URLSET)], "host string, sitemap_xml string"
+    )
+    seeds, _ = sitemap_seed_df(fetched)
+    site = site_graph_from_seeds(seeds)
+    rows = {r["url"]: r for r in site.collect()}
+    assert rows["https://a.example.test/video/1/"]["page"] == 90  # 0.9 → 90
+    assert rows["https://a.example.test/video/2/"]["page"] == 50  # default
+    assert rows["https://a.example.test/video/1/"]["image_id"] == "1"
+
+    eng = CrawlEngine(str(tmp_path / "sm"), batch_size=10, n_partitions=4)
+    eng.init(site)
+    fr = eng.frontier.read(spark)
+    assert fr.count() == 3
+    # highest sitemap priority schedules first
+    top = fr.orderBy(F.col("priority").desc()).first()
+    assert top["priority"] == 90 and top["image_id"] == "1"
+
+
 def test_seed_df_split(spark):
     fetched = spark.createDataFrame(
         [

@@ -139,3 +139,26 @@ def sitemap_seed_df(
         "host", F.col("e.loc").alias("sitemap_url")
     )
     return seeds, children
+
+
+def site_graph_from_seeds(seeds: DataFrame) -> DataFrame:
+    """Sitemap seeds → the site-graph shape ``CrawlEngine.init`` consumes
+    (url, image_id, page, position), so a sitemap-discovered crawl runs
+    through the unmodified engine:
+
+      * ``page`` (the engine's crawl priority, scheduled DESC) =
+        round(sitemap priority × 100) — the protocol's 0.0-1.0 hint
+        quantized onto the integer priority axis;
+      * ``image_id`` = the item id extracted from the URL (F6 semantics);
+      * ``position`` = 0 for all rows — within equal priority the engine's
+        crawl order falls through to url_hash ASC, which is deterministic
+        without needing a per-page ordinal the sitemap doesn't have.
+    """
+    from .urlnorm import extract_item_id
+
+    return seeds.select(
+        "url",
+        extract_item_id(F.col("url")).alias("image_id"),
+        F.round(F.col("priority") * 100).cast("int").alias("page"),
+        F.lit(0).alias("position"),
+    )
