@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "sample_stratified",
     "token_heavy_hitters",
+    "dim_join_rollup",
     "dedup_minhash_lsh",
     "simhash",
     "dedup_simhash_pairs",

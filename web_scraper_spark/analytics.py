@@ -400,6 +400,39 @@ def sample_hash_threshold(
     return d.filter(bucket.cast("long") < F.lit(int(rate * 16**8)))
 
 
+def q_dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup through a chain of dimension joins (TPC-H Q5 shape):
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, one-year date slice,
+    grouped by region and nation.
+
+    The at-scale join-strategy demonstration: the two fact-side joins
+    shuffle on their keys, while nation (25 rows) and region (5 rows) are
+    explicit ``broadcast()`` sides — no shuffle for dimension lookup, the
+    pattern every 100 TB star-schema query lives on. The date predicate
+    sits directly on the orders scan so Catalyst pushes it into the
+    parquet reader (PushedFilters) before any join. Revenue is rounded to
+    2 decimals on both engines per the float convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
 def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 tokens by corpus frequency, ties broken by token —
     the vocabulary/heavy-hitter pass every corpus audit starts with.
@@ -1134,6 +1167,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "sample_stratified": q_sample_stratified,
     "token_heavy_hitters": q_token_heavy_hitters,
+    "dim_join_rollup": q_dim_join_rollup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1298,6 +1332,19 @@ csize AS (
 SELECT l.doc_id, l.canonical_id, c.cluster_size,
        l.doc_id = l.canonical_id AS is_canonical
 FROM labels l JOIN csize c ON c.canonical_id = l.canonical_id
+""",
+    "dim_join_rollup": """
+SELECT r.r_name AS region, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r.r_name, n.n_name
 """,
     "token_heavy_hitters": """
 WITH toks AS (
