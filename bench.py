@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "token_heavy_hitters",
     "dim_join_rollup",
+    "brand_price_quantiles",
     "dedup_minhash_lsh",
     "simhash",
     "dedup_simhash_pairs",

@@ -433,6 +433,24 @@ def q_dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 retail price per brand — distribution stats the
+    quality-banding pipeline needs (size/score cutoffs per group).
+
+    EXACT percentile (Spark's ``percentile``, linear interpolation ≡
+    DuckDB's ``quantile_cont``) rather than ``percentile_approx``: the
+    sketch's answer is implementation-defined and cannot be oracled
+    value-for-value. Exact grouped percentile sorts within each group —
+    fine at per-brand cardinality; for corpus-scale distributions switch
+    to approx_percentile and verify rank-error bounds instead of values."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(p_retailprice, 0.9)"), 2).alias("p90"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+
+
 def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 tokens by corpus frequency, ties broken by token —
     the vocabulary/heavy-hitter pass every corpus audit starts with.
@@ -1168,6 +1186,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "token_heavy_hitters": q_token_heavy_hitters,
     "dim_join_rollup": q_dim_join_rollup,
+    "brand_price_quantiles": q_brand_price_quantiles,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1332,6 +1351,14 @@ csize AS (
 SELECT l.doc_id, l.canonical_id, c.cluster_size,
        l.doc_id = l.canonical_id AS is_canonical
 FROM labels l JOIN csize c ON c.canonical_id = l.canonical_id
+""",
+    "brand_price_quantiles": """
+SELECT p_brand,
+       round(quantile_cont(p_retailprice, 0.5), 2) AS p50,
+       round(quantile_cont(p_retailprice, 0.9), 2) AS p90,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+GROUP BY p_brand
 """,
     "dim_join_rollup": """
 SELECT r.r_name AS region, n.n_name AS nation,
