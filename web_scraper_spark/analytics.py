@@ -451,6 +451,23 @@ def q_brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance rollup per supplier nation — the one-broadcast-join
+    aggregate shape (fact ⋈ tiny dim → groupBy), completing gate coverage
+    of every driver table."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+
+
 def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 tokens by corpus frequency, ties broken by token —
     the vocabulary/heavy-hitter pass every corpus audit starts with.
@@ -1187,6 +1204,7 @@ QUERIES = {
     "token_heavy_hitters": q_token_heavy_hitters,
     "dim_join_rollup": q_dim_join_rollup,
     "brand_price_quantiles": q_brand_price_quantiles,
+    "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1351,6 +1369,14 @@ csize AS (
 SELECT l.doc_id, l.canonical_id, c.cluster_size,
        l.doc_id = l.canonical_id AS is_canonical
 FROM labels l JOIN csize c ON c.canonical_id = l.canonical_id
+""",
+    "supplier_balance_by_nation": """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_balance,
+       round(avg(s.s_acctbal), 2) AS avg_balance
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """,
     "brand_price_quantiles": """
 SELECT p_brand,
