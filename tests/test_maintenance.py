@@ -110,6 +110,18 @@ def test_vacuum_keep_horizon_preserves_time_travel(spark, tmp_root):
         t.read(spark, version=2)
 
 
+def test_vacuum_with_lower_horizon_after_deeper_vacuum(spark, tmp_root):
+    """A second vacuum with a LOWER horizon (deeper keep_checkpoints after
+    an earlier shallow vacuum) must tolerate already-expired manifests."""
+    t = SnapshotTable(tmp_root, "st")
+    for i in range(5):
+        t.commit_overwrite(_df(spark, i, i + 1))
+    t.vacuum(4)          # expire v1-v3
+    stats = t.vacuum(2)  # lower horizon: v2/v3 already gone — no crash
+    assert stats["dropped_versions"] == 0
+    assert [r["k"] for r in t.read(spark).collect()] == [4]
+
+
 def test_warm_start_from_prior_crawl_seen_set(spark, tmp_path):
     """Cross-crawl warm start (reference loads historic seen IDs at
     startup): a fresh crawl seeded with a completed crawl's seen set
@@ -198,7 +210,10 @@ def test_requeue_recrawls_exactly_the_reopened_urls(spark, tmp_path, seen_filter
     trace0 = eng.crawl_order(spark).count()
 
     reopen = seen0.orderBy("url_hash").limit(10).select("url_hash")
-    stats = eng.requeue(spark, reopen)
+    # mix in never-seen keys: they must not touch the filter (a cuckoo
+    # delete of a never-inserted key can evict a colliding fingerprint)
+    bogus = spark.createDataFrame([(111,), (222,), (333,)], "url_hash long")
+    stats = eng.requeue(spark, reopen.unionByName(bogus))
     assert stats["seen_removed"] == 10
     assert stats["requeued"] == 10
     assert stats["filter"] == (
@@ -246,6 +261,12 @@ def test_midcrawl_maintenance_preserves_trace(spark, tmp_path):
     part.run_batch(spark)
     compacted = part.compact_state(spark)
     assert set(compacted) == {"seen", "failures", "payload_out", "schedule_log"}
+    # the maintenance checkpoint must not re-carry stats: metrics() keys
+    # rows on batch_id and would double-count the last batch
+    m = part.metrics(spark)
+    ids = [r["batch_id"] for r in m.select("batch_id").distinct().collect()]
+    per_batch = m.groupBy("batch_id", "metric").count().filter("count > 1").count()
+    assert per_batch == 0 and len(ids) == 2
     removed = part.vacuum_state(keep_checkpoints=1)
     # per-batch bloom overwrites leave expired full-bitset copies behind;
     # vacuum must reclaim at least those
@@ -326,3 +347,49 @@ def test_midcrawl_maintenance_preserves_discovery_state(spark, tmp_path):
     assert [tuple(r) for r in resumed.crawl_order(spark).collect()] == [
         tuple(r) for r in full.crawl_order(spark).collect()
     ]
+
+
+def test_discovery_with_cuckoo_filter_progresses(spark, tmp_path):
+    """Regression: init_discovery built bloom-schema shards regardless of
+    seen_filter, so the cuckoo engine crashed on its first probe."""
+    from tests.test_discovery import BATCH, N_PAGES, VPP, _fixture
+    from web_scraper_spark.plans.discover import DiscoveringCrawlEngine
+
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+    eng = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "ck"), batch_size=BATCH, n_partitions=8,
+        lookahead=1, seen_filter="cuckoo",
+    )
+    eng.attach_store(ppath, faults)
+    eng.init_discovery(spark, N_PAGES, VPP, robots)
+    stats = [eng.run_batch(spark) for _ in range(3)]
+    assert sum(s.get("fetched_ok", 0) for s in stats if s) > 0
+    assert eng.seen_set(spark).count() > 0
+
+
+def test_requeue_on_discovery_plan_keeps_pending_counter(spark, tmp_path):
+    """Regression: requeue flips rows back to pending; the discovery
+    plan's pending_detail counter must grow by exactly those rows or it
+    goes permanently negative when they are consumed again."""
+    from tests.test_discovery import BATCH, N_PAGES, VPP, _fixture
+    from web_scraper_spark.plans.discover import DiscoveringCrawlEngine
+
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+    eng = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "rq"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    eng.attach_store(ppath, faults)
+    eng.init_discovery(spark, N_PAGES, VPP, robots)
+    eng.run(spark, max_batches=200)
+    assert int(eng.checkpoints.latest()["pending_detail"]) == 0
+
+    reopen = eng.seen_set(spark).orderBy("url_hash").limit(5).select("url_hash")
+    stats = eng.requeue(spark, reopen)
+    assert stats["requeued"] == 5
+    assert int(eng.checkpoints.latest()["pending_detail"]) == 5
+
+    runs = eng.run(spark, max_batches=50)
+    assert sum(s.get("fetched_ok", 0) for s in runs) == 5
+    assert int(eng.checkpoints.latest()["pending_detail"]) == 0

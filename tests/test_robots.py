@@ -102,3 +102,11 @@ def test_rules_df_roundtrip_into_engine_annotation(spark):
     }
     delays = {r["url"]: r["crawl_delay_ms"] for r in ann.collect()}
     assert delays["https://a.example.test/public/1"] == 1500
+
+
+def test_crawl_delay_inf_nan_negative_ignored():
+    # garbage that parses as float must not produce a bogus delay or
+    # crash the Arrow batch (int(inf) raises OverflowError, not ValueError)
+    assert parse_robots_text("User-agent: *\nCrawl-delay: inf") == ([], [], 0)
+    assert parse_robots_text("User-agent: *\nCrawl-delay: nan") == ([], [], 0)
+    assert parse_robots_text("User-agent: *\nCrawl-delay: -5") == ([], [], 0)

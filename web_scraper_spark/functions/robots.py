@@ -33,6 +33,8 @@ the right tool where the per-URL path uses pure column expressions.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -97,10 +99,14 @@ def parse_robots_text(text: str | None, agent: str = "*") -> tuple[list, list, i
         elif key == "allow" and val:
             allow.append(val)
         elif key == "crawl-delay":
+            # quarantine-style: garbage values ("soon", "inf", negatives)
+            # must not kill the parse or produce a bogus delay
             try:
-                delay_ms = int(float(val) * 1000)
+                d = float(val)
             except ValueError:
-                pass
+                continue
+            if math.isfinite(d) and d >= 0:
+                delay_ms = int(d * 1000)
     return disallow, allow, delay_ms
 
 

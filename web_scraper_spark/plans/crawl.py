@@ -141,38 +141,9 @@ class CrawlEngine:
         )
         fv = self.frontier.commit_overwrite_bucketed(frontier, "bucket", origin="init")
         rv = self.robots.commit_overwrite(robots, origin="init") if robots is not None else 0
-        sv, seed_count, seed_rows = 0, 0, None
-        if seen_seed is not None:
-            seed_rows = seen_seed.select("url_hash", "image_id").withColumn(
-                "committed_seq", F.lit(0).cast("long")
-            )
-            seed_count = seed_rows.count()
-            sv = self.seen.commit_overwrite(seed_rows, origin="init:seen_seed")
-        bv = 0
-        if self.use_bloom:
-            # the incrementally-maintained seen-set filter (north rule):
-            # geometry fixed at init, sized for the whole frontier plus any
-            # imported seen set. Never rebuilt — per-batch cost is O(newly
-            # seen), not O(seen).
-            spark = site_graph.sparkSession
-            cap = self.bloom_capacity or max(
-                (site_graph.count() + seed_count) * 2, 10_000
-            )
-            if self.seen_filter == "cuckoo":
-                from ..operators.cuckoo import empty_cuckoo_shards
-                from ..operators.cuckoo import update_cuckoo_shards as _upd
-
-                filt = empty_cuckoo_shards(spark, self.bloom_shards_n, cap)
-            else:
-                from ..operators.dedup import empty_bloom_shards
-                from ..operators.dedup import update_bloom_shards as _upd
-
-                filt = empty_bloom_shards(spark, self.bloom_shards_n, cap)
-            if seed_rows is not None:
-                filt = _upd(
-                    filt, seed_rows.select("url_hash"), n_shards=self.bloom_shards_n
-                )
-            bv = self.bloom.commit_overwrite(filt, origin="init")
+        sv, seed_count, bv = self._init_seen_filter(
+            site_graph.sparkSession, site_graph.count(), seen_seed
+        )
         self.checkpoints.commit(
             0,
             {
@@ -190,6 +161,47 @@ class CrawlEngine:
                 "seen_count": seed_count,
             },
         )
+
+    def _init_seen_filter(
+        self, spark: SparkSession, cap_base: int, seen_seed: DataFrame | None
+    ) -> tuple[int, int, int]:
+        """Shared init step for all plans (base + discovery): commit any
+        imported seen rows and build the seen filter — bloom OR cuckoo per
+        ``seen_filter`` — at its fixed init geometry, sized for
+        ``cap_base`` expected URLs plus the import, with the imported keys
+        folded in before the first commit. Returns (seen_version,
+        seed_count, filter_version). One implementation on purpose: the
+        two plans' init paths previously each carried a copy and drifted
+        (the discovery copy ignored the cuckoo branch)."""
+        sv, seed_count, seed_rows = 0, 0, None
+        if seen_seed is not None:
+            seed_rows = seen_seed.select("url_hash", "image_id").withColumn(
+                "committed_seq", F.lit(0).cast("long")
+            )
+            seed_count = seed_rows.count()
+            sv = self.seen.commit_overwrite(seed_rows, origin="init:seen_seed")
+        bv = 0
+        if self.use_bloom:
+            # the incrementally-maintained seen-set filter (north rule):
+            # geometry fixed at init. Never rebuilt — per-batch cost is
+            # O(newly seen), not O(seen).
+            cap = self.bloom_capacity or max((cap_base + seed_count) * 2, 10_000)
+            if self.seen_filter == "cuckoo":
+                from ..operators.cuckoo import empty_cuckoo_shards
+                from ..operators.cuckoo import update_cuckoo_shards as _upd
+
+                filt = empty_cuckoo_shards(spark, self.bloom_shards_n, cap)
+            else:
+                from ..operators.dedup import empty_bloom_shards
+                from ..operators.dedup import update_bloom_shards as _upd
+
+                filt = empty_bloom_shards(spark, self.bloom_shards_n, cap)
+            if seed_rows is not None:
+                filt = _upd(
+                    filt, seed_rows.select("url_hash"), n_shards=self.bloom_shards_n
+                )
+            bv = self.bloom.commit_overwrite(filt, origin="init")
+        return sv, seed_count, bv
 
     # ---------------------------------------------------------- helpers
 
@@ -612,8 +624,9 @@ class CrawlEngine:
             "logical_s": ck["logical_s"],
             "seen_count": ck["seen_count"],
         }
-        if "stats" in ck:
-            state["stats"] = ck["stats"]
+        # deliberately NOT carrying ck["stats"]: metrics() emits one row
+        # set per checkpoint that has stats, so re-carrying the previous
+        # batch's counters would double-count that batch
         self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
         return out
 
@@ -645,9 +658,18 @@ class CrawlEngine:
         keys = url_hashes.select("url_hash").distinct().localCheckpoint(eager=True)
 
         seen = self.seen.read(spark, int(v["seen"]))
-        n_removed = 0
+        n_removed, seen_keys = 0, None
         if seen is not None:
-            n_removed = seen.join(F.broadcast(keys), "url_hash", "semi").count()
+            # only keys ACTUALLY in the seen set may touch the filter: a
+            # cuckoo delete of a never-inserted key can evict a colliding
+            # seen key's fingerprint → false negative → duplicate fetch
+            seen_keys = (
+                seen.join(F.broadcast(keys), "url_hash", "semi")
+                .select("url_hash")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_removed = seen_keys.count()
             remaining = seen.join(F.broadcast(keys), "url_hash", "left_anti")
             v["seen"] = self.seen.commit_overwrite(remaining, origin="requeue")
 
@@ -658,7 +680,7 @@ class CrawlEngine:
                 from ..operators.cuckoo import delete_cuckoo_shards
 
                 new_shards = delete_cuckoo_shards(
-                    shards, keys, n_shards=self.bloom_shards_n
+                    shards, seen_keys, n_shards=self.bloom_shards_n
                 )
                 filter_mode = "cuckoo-delete"
             else:
@@ -687,9 +709,12 @@ class CrawlEngine:
             v["bloom"] = self.bloom.commit_overwrite(new_shards, origin="requeue")
 
         frontier = self.frontier.read(spark, int(v["frontier"]))
-        n_requeued = 0
+        n_requeued = n_new_pending = 0
         if frontier is not None:
             affected = frontier.join(F.broadcast(keys), "url_hash", "inner")
+            # rows entering pending that weren't: the discovery plan's
+            # pending_detail counter must grow by exactly this many
+            n_new_pending = affected.filter(F.col("status") != "pending").count()
             null_str = F.lit(None).cast("string")
             null_ts = F.lit(None).cast("timestamp")
             updates = affected.select(
@@ -719,8 +744,9 @@ class CrawlEngine:
             "logical_s": ck["logical_s"],
             "seen_count": int(ck["seen_count"]) - n_removed,
         }
-        if "stats" in ck:
-            state["stats"] = ck["stats"]
+        # no ck["stats"] carry (metrics() would double-count that batch)
+        if "pending_detail" in ck:
+            state["pending_detail"] = int(ck["pending_detail"]) + n_new_pending
         self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
         return {
             "requeued": n_requeued,
@@ -742,9 +768,15 @@ class CrawlEngine:
             return {}
         kept = cks[-max(1, keep_checkpoints):]
         out = {}
-        for name in (*self._APPEND_LOGS, "frontier", "robots", "bloom"):
+        # derive the table set from the checkpoint itself (same mechanism
+        # as state_at) so subclass tables — e.g. the discovery plan's
+        # listing — are vacuumed too, not just the base engine's list
+        for name in kept[-1]["versions"]:
+            table = getattr(self, name, None)
+            if not isinstance(table, SnapshotTable):
+                continue
             horizon = min(int(ck["versions"].get(name, 0)) for ck in kept)
-            out[name] = getattr(self, name).vacuum(horizon)
+            out[name] = table.vacuum(horizon)
         return out
 
     # -------------------------------------------------------- store hooks

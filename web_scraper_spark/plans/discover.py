@@ -77,8 +77,6 @@ class DiscoveringCrawlEngine(CrawlEngine):
         (url_hash, image_id) rows imported exactly as in
         ``CrawlEngine.init`` — discovered URLs already in the import are
         skipped_seen, never fetched."""
-        from ..operators.dedup import empty_bloom_shards, update_bloom_shards
-
         listing = spark.createDataFrame(
             [(p, "pending") for p in range(1, n_pages + 1)], schema=LISTING_SCHEMA
         ).withColumn("bucket", _bucket(F.col("page")))
@@ -87,24 +85,9 @@ class DiscoveringCrawlEngine(CrawlEngine):
         empty = spark.createDataFrame([], schema=self._frontier_bucketed_schema())
         fv = self.frontier.commit_overwrite_bucketed(empty, "bucket", origin="init")
         rv = self.robots.commit_overwrite(robots, origin="init") if robots is not None else 0
-        sv, seed_count, seed_rows = 0, 0, None
-        if seen_seed is not None:
-            seed_rows = seen_seed.select("url_hash", "image_id").withColumn(
-                "committed_seq", F.lit(0).cast("long")
-            )
-            seed_count = seed_rows.count()
-            sv = self.seen.commit_overwrite(seed_rows, origin="init:seen_seed")
-        bv = 0
-        if self.use_bloom:
-            cap = self.bloom_capacity or max(
-                (n_pages * videos_per_page + seed_count) * 2, 10_000
-            )
-            filt = empty_bloom_shards(spark, self.bloom_shards_n, cap)
-            if seed_rows is not None:
-                filt = update_bloom_shards(
-                    filt, seed_rows.select("url_hash"), n_shards=self.bloom_shards_n
-                )
-            bv = self.bloom.commit_overwrite(filt, origin="init")
+        sv, seed_count, bv = self._init_seen_filter(
+            spark, n_pages * videos_per_page, seen_seed
+        )
         self.checkpoints.commit(
             0,
             {

@@ -228,6 +228,13 @@ class SnapshotTable:
         keep_from = max(1, min(keep_from_version, latest))
         kept: set[str] = set()
         for v in range(keep_from, latest + 1):
+            # a version inside the keep range may already be gone: an
+            # earlier vacuum with a HIGHER horizon expired it (e.g.
+            # vacuum_state(keep_checkpoints=1) then later a deeper
+            # keep_checkpoints=3). Nothing to reference from it — skip.
+            mp = os.path.join(self.root, "manifests", f"v{v}.json")
+            if v != 0 and not os.path.exists(mp):
+                continue
             kept |= {e["path"] for e in self._manifest(v)["entries"]}
         dropped_versions = 0
         for v in range(1, keep_from):
