@@ -173,6 +173,38 @@ def test_engine_cuckoo_trace_equals_bloom(spark, tmp_path):
     assert traces["cuckoo"] == traces["bloom"]
 
 
+def test_colliding_keys_survive_each_others_delete_numpy_local():
+    """Two DISTINCT keys that collide on (fingerprint, bucket-pair) must
+    each hold their own stored copy (Fan et al. delete-support rule), so
+    deleting one never false-negatives the other. Regression for the
+    round-2 advisory: the old insert skipped already-present fingerprints,
+    sharing one copy between colliding keys."""
+    from web_scraper_spark.operators.cuckoo import _alt, _contains
+
+    m = 2  # tiny bucket space so a (fp, pair) collision is findable fast
+    groups: dict[tuple, list[int]] = {}
+    pair = None
+    for k in range(1, 2_000_000):
+        h = np.asarray([k], np.int64)
+        f, i = _fp_index(h.view(np.uint64), m)
+        i2 = _alt(i, f, m)
+        sig = (int(f[0]), min(int(i[0]), int(i2[0])), max(int(i[0]), int(i2[0])))
+        groups.setdefault(sig, []).append(k)
+        if len(groups[sig]) == 2:
+            pair = groups[sig]
+            break
+    assert pair is not None, "no (fp, bucket-pair) collision found in scan"
+    a, b = pair
+    table = np.zeros((m, SLOTS), np.uint16)
+    _insert_into(table, np.asarray([a], np.int64))
+    _insert_into(table, np.asarray([b], np.int64))
+    f_sig = np.uint16(_fp_index(np.asarray([a], np.uint64), m)[0][0])
+    assert int((table == f_sig).sum()) == 2  # one copy per key, not shared
+    _delete_from(table, np.asarray([a], np.int64))
+    fb, ib = _fp_index(np.asarray([b], np.int64).view(np.uint64), m)
+    assert bool(_contains(table, fb, ib).all())  # b never disturbed
+
+
 def test_delete_then_reinsert_roundtrip_numpy_local():
     table = np.zeros((cuckoo_params(1000), SLOTS), np.uint16)
     keys = np.arange(10_000, 11_000, dtype=np.int64)

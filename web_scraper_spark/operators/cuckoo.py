@@ -100,8 +100,18 @@ def _contains(table: np.ndarray, f: np.ndarray, i: np.ndarray) -> np.ndarray:
 
 
 def _insert_into(table: np.ndarray, h: np.ndarray) -> None:
-    """Insert all keys of ``h`` into ``table`` in place (set semantics:
-    duplicate hashes collapse, already-present keys are no-ops).
+    """Insert all keys of ``h`` into ``table`` in place. Duplicate hashes
+    WITHIN the batch collapse (np.unique — same 64-bit url_hash IS the same
+    key everywhere in this engine), but a key whose (fingerprint, bucket
+    pair) is already occupied by a DIFFERENT key still stores its own copy.
+    That duplicate-copy rule is the standard Fan et al. §4 precondition for
+    delete support: if two distinct keys collide on (fp, bucket-pair) and
+    shared one stored copy, deleting one key would strip the other's only
+    copy — a false negative, which this module promises never to produce.
+    Copies per (fp, bucket-pair) stay bounded because the engine inserts
+    each key exactly once (keys enter the seen log once; ``requeue``
+    deletes before any re-insert) and cross-key collisions are ~2·SLOTS/2^16
+    per pair.
 
     Mostly-vectorized: each round elects one candidate per distinct bucket
     (no write conflicts), scatters the electees into free slots in one
@@ -112,9 +122,7 @@ def _insert_into(table: np.ndarray, h: np.ndarray) -> None:
     h = np.unique(h.view(np.uint64) if h.dtype == np.int64 else h.astype(np.uint64))
     if h.size == 0:
         return
-    f, i = _fp_index(h, m)
-    fresh = ~_contains(table, f, i)
-    pf, pi = f[fresh], i[fresh]
+    pf, pi = _fp_index(h, m)
     tried_alt = np.zeros(pf.size, bool)
     evict_f: list[int] = []
     evict_i: list[int] = []
@@ -165,9 +173,10 @@ def _evict_insert(table: np.ndarray, f: np.uint16, i: int) -> None:
 def _delete_from(table: np.ndarray, h: np.ndarray) -> None:
     """Remove one fingerprint copy per unique key. Safe only for keys that
     were inserted (standard cuckoo precondition — the caller's seen-log is
-    authoritative); deleting an absent key is a silent no-op here rather
-    than corrupting a colliding entry's only copy beyond what the shared
-    fingerprint already implies."""
+    authoritative); deleting an absent key is a silent no-op. Because
+    ``_insert_into`` stores one copy per distinct key even under
+    (fp, bucket-pair) collisions, removing ONE copy here never strips a
+    colliding key's membership."""
     m = table.shape[0]
     h = np.unique(h.view(np.uint64) if h.dtype == np.int64 else h.astype(np.uint64))
     f, i1 = _fp_index(h, m)
