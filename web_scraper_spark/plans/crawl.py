@@ -56,7 +56,11 @@ from ..operators.frontier import (
 )
 from ..operators.politeness import assign_waves, salted_repartition
 from ..sources.snapshots import CheckpointLog, SnapshotTable
-from ..sources.store import fetch_and_validate, join_payload_store
+from ..sources.store import (
+    fetch_and_validate,
+    fetch_and_validate_http,
+    join_payload_store,
+)
 
 LOGICAL_EPOCH = "2026-01-01 00:00:00"
 TICK_SECONDS = 60  # logical seconds advanced per micro-batch
@@ -350,17 +354,32 @@ class CrawlEngine:
         n_ok = n_bad = 0
         total_bytes = 0
         if n_sched > 0:
-            payload = self._payload_store(spark)
-            fault_bc = self._fault_bc(spark)
-            # waves first (bounded batch, pinned) — then the payload join;
+            # waves first (bounded batch, pinned) — then the origin;
             # assign_waves runs a small counts aggregate, which must scan
-            # the checkpointed batch, not the payload-join lineage
+            # the checkpointed batch, not the origin-join lineage
             waved = assign_waves(scheduled, self.per_host_parallelism)
-            withp = join_payload_store(waved, payload, id_range=id_range)
-            placed = salted_repartition(withp, self.n_partitions, hot_hosts=hot_hosts)
-            results = fetch_and_validate(placed, fault_bc, self.verify_phash).localCheckpoint(
-                eager=True
-            )
+            if self._origin_kind == "http":
+                # LIVE origin: no payload table exists — each salted
+                # partition GETs its own rows (reference
+                # file_downloader.py:206-282 as the production path)
+                placed = salted_repartition(
+                    waved, self.n_partitions, hot_hosts=hot_hosts
+                )
+                results = fetch_and_validate_http(
+                    placed,
+                    timeout_s=self.fetch_timeout_s,
+                    max_body_bytes=self._max_body_bytes,
+                ).localCheckpoint(eager=True)
+            else:
+                payload = self._payload_store(spark)
+                fault_bc = self._fault_bc(spark)
+                withp = join_payload_store(waved, payload, id_range=id_range)
+                placed = salted_repartition(
+                    withp, self.n_partitions, hot_hosts=hot_hosts
+                )
+                results = fetch_and_validate(
+                    placed, fault_bc, self.verify_phash
+                ).localCheckpoint(eager=True)
             # scheduled rows with no origin payload row = 404s (synthesized
             # here so the payload join stays a broadcast inner join)
             missing = scheduled.join(
@@ -783,12 +802,29 @@ class CrawlEngine:
 
     _payload_path: str | None = None
     _fault_plan: dict | None = None
+    #: "store" (synthetic payload table) | "http" (live fetch of each url)
+    _origin_kind: str = "store"
+    _max_body_bytes: int | None = None
 
     def attach_store(self, payload_path: str, fault_plan: dict[str, tuple[str, int]] | None = None) -> None:
         """Point the engine at the synthetic origin: a parquet payload table
         and an optional fault plan {image_id: (mode, fail_count)}."""
+        self._origin_kind = "store"
         self._payload_path = payload_path
         self._fault_plan = fault_plan or {}
+
+    def attach_http_origin(self, max_body_bytes: int | None = None) -> None:
+        """Point the engine at a LIVE HTTP origin: every scheduled frontier
+        url is fetched over the network by its salted partition
+        (sources/store.fetch_and_validate_http) instead of joined against a
+        payload table — the reference's production download path
+        (file_downloader.py:206-282). ``fetch_timeout_s`` bounds each
+        transfer (ST6); ``max_body_bytes`` aborts oversized bodies (the
+        storage guard). Everything downstream — validation, retry/backoff,
+        seen/payload commits, the trace — is identical to the synthetic
+        origin, which is what tests/test_live_origin_e2e.py asserts."""
+        self._origin_kind = "http"
+        self._max_body_bytes = max_body_bytes
 
     def _payload_store(self, spark: SparkSession) -> DataFrame:
         assert self._payload_path, "attach_store() first"

@@ -179,6 +179,87 @@ def fetch_and_validate(
     return batch_with_payload.mapInPandas(_fetch, schema=FETCH_RESULT_SCHEMA)
 
 
+def fetch_and_validate_http(
+    batch: DataFrame,
+    timeout_s: float = 30.0,
+    chunk_bytes: int = 64 * 1024,
+    max_body_bytes: int | None = None,
+) -> DataFrame:
+    """LIVE-origin fetch+validate — the pluggable alternative to the
+    synthetic-store ``fetch_and_validate`` (reference
+    file_downloader.py:206-282, the production download path). Same input
+    contract MINUS the origin_* columns: there is no payload-table join
+    because the row's ``url`` IS the origin. Each Arrow batch walks its
+    politeness waves through ``http_fetch_rows`` (pooled session, chunked
+    streaming, real inter-wave sleeps, ST6 stall timeout), then runs the
+    SAME decode/validate pass as the synthetic path. Format comes from the
+    magic-byte sniff and no expected phash is supplied — a live origin
+    doesn't advertise one; decode failure / truncation still classifies as
+    a validation error exactly like the synthetic injector's.
+
+    Output: FETCH_RESULT rows (caption is null — live origins serve bytes,
+    captions come from the parse stage). 100 TB shape: the batch is already
+    salted/partitioned by (host, salt); each task fetches only its slice,
+    nothing is collected, and the payload table never exists.
+    """
+
+    def _fetch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.imaging import sniff_format
+
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(
+                ["fetch_wave", "host", "host_rank"], kind="mergesort"
+            ).reset_index(drop=True)
+            fetched_rows = http_fetch_rows(
+                pdf[["url", "fetch_wave", "crawl_delay_ms"]],
+                timeout_s=timeout_s,
+                chunk_bytes=chunk_bytes,
+                max_body_bytes=max_body_bytes,
+            )
+            blob_s = fetched_rows["body"]
+            errors = fetched_rows["error"].to_numpy(dtype=object)
+            fmt_s = pd.Series(
+                [None if b is None else sniff_format(bytes(b)) for b in blob_s],
+                dtype=object,
+            )
+            val = decode_validate_batch(blob_s, fmt_s, None)
+            fetched = pd.isna(errors)
+            ok = fetched & val["ok"].to_numpy()
+            err = np.where(
+                fetched,
+                np.where(ok, None, val["error"].to_numpy(dtype=object)),
+                errors,
+            )
+            blob_np = blob_s.to_numpy(dtype=object)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "url_hash": pdf["url_hash"].to_numpy(),
+                    "host": pdf["host"].to_numpy(),
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "priority": pdf["priority"].to_numpy(),
+                    "position": pdf["position"].to_numpy(),
+                    "attempts": pdf["attempts"].to_numpy(),
+                    "seq": pdf["seq"].to_numpy(),
+                    "ok": ok,
+                    "error_msg": pd.Series(err, dtype=object),
+                    "bytes": pd.Series(np.where(ok, blob_np, None), dtype=object),
+                    "w": val["w"].to_numpy(),
+                    "h": val["h"].to_numpy(),
+                    "fmt": fmt_s,
+                    "caption": pd.Series([None] * len(pdf), dtype=object),
+                    "phash": val["phash"].to_numpy(),
+                    "fetch_wave": pdf["fetch_wave"].to_numpy(),
+                }
+            )
+
+    return batch.mapInPandas(_fetch, schema=FETCH_RESULT_SCHEMA)
+
+
 def head_content_length(
     batch: DataFrame,
     payload: DataFrame,
