@@ -167,7 +167,12 @@ def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> di
             # one-time synthetic-input bootstrap — a production frontier
             # already exists as a table (TPC-H doesn't time dbgen either);
             # it is still measured and reported for transparency.
-            "urls_per_sec": round(n_rows / t_sched, 1),
+            # "schedule_" prefix + the top-level bench_format=2 field mark
+            # the round-2 headline redefinition (seeding excluded): older
+            # recorded lines carried the same value under "urls_per_sec"
+            # WITH seeding included — renamed so the two can't be compared
+            # unknowingly across rounds.
+            "schedule_urls_per_sec": round(n_rows / t_sched, 1),
             "urls_per_sec_incl_seed": round(n_rows / (t_seed + t_sched), 1),
         }
     finally:
@@ -232,7 +237,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     frontier_throughput(spark, max(FRONTIER_ROWS // 10, 24))  # warm
     fr = frontier_throughput(spark, FRONTIER_ROWS)
-    rate = fr["urls_per_sec"]
+    rate = fr["schedule_urls_per_sec"]
     timings["frontier_seed"] = fr["seed_s"]
     timings["frontier_schedule_batch"] = fr["schedule_s"]
     fetch_validate_throughput(spark, n_images=2_000)  # warm
@@ -255,6 +260,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "frontier_urls_scheduled_per_sec",
+                # format 2 = headline excludes one-time seeding (recorded
+                # separately as urls_per_sec_incl_seed); format-1 lines
+                # (BENCH_r01.json) included it — not comparable directly
+                "bench_format": 2,
                 "value": round(rate, 1),
                 "unit": "sec",
                 "queries": timings,

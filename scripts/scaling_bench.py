@@ -101,15 +101,15 @@ def main() -> None:
     for _ in range(rounds):
         a = run_child(n, rows)
         b = run_child(4 * n, rows)
-        if lo is None or a["urls_per_sec"] > lo["urls_per_sec"]:
+        if lo is None or a["schedule_urls_per_sec"] > lo["schedule_urls_per_sec"]:
             lo = {**lo, **a} if lo else a
         if lo["fetch_images_per_sec"] < a["fetch_images_per_sec"]:
             lo["fetch_images_per_sec"] = a["fetch_images_per_sec"]
-        if hi is None or b["urls_per_sec"] > hi["urls_per_sec"]:
+        if hi is None or b["schedule_urls_per_sec"] > hi["schedule_urls_per_sec"]:
             hi = {**hi, **b} if hi else b
         if hi["fetch_images_per_sec"] < b["fetch_images_per_sec"]:
             hi["fetch_images_per_sec"] = b["fetch_images_per_sec"]
-    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+    eff = (hi["schedule_urls_per_sec"] / lo["schedule_urls_per_sec"]) / 4.0
     fetch_eff = (hi["fetch_images_per_sec"] / lo["fetch_images_per_sec"]) / 4.0
     print(
         json.dumps(
@@ -118,8 +118,8 @@ def main() -> None:
                 "rounds": rounds,
                 "n_cores": n,
                 "n4_cores": 4 * n,
-                "urls_per_sec_n": lo["urls_per_sec"],
-                "urls_per_sec_4n": hi["urls_per_sec"],
+                "schedule_urls_per_sec_n": lo["schedule_urls_per_sec"],
+                "schedule_urls_per_sec_4n": hi["schedule_urls_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "fetch_images_per_sec_n": lo["fetch_images_per_sec"],
                 "fetch_images_per_sec_4n": hi["fetch_images_per_sec"],

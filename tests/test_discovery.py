@@ -66,6 +66,92 @@ def test_discovery_matches_preseeded_engine(spark, tmp_path):
     assert listing.filter(F.col("status") == "pending").count() == 0
 
 
+def test_listing_page_tombstones_after_retry_budget(spark, tmp_path):
+    """A listing page that always fails retries with backoff, lands in the
+    failures log, tombstones permanent once its class budget is spent —
+    and the crawl still completes with the oracle-predicted trace for the
+    SURVIVING pages (reference: new/scrape_orchestrator.py:262-346,
+    new/progress_manager.py:302-314 permanent_failed_pages)."""
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+    bad_page = N_PAGES  # the highest-priority page never delivers
+
+    disc = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "disc"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    disc.attach_store(ppath, faults)
+    disc.attach_listing_faults({bad_page: ("HTTP 503 service unavailable", -1)})
+    disc.init_discovery(spark, N_PAGES, VPP, robots)
+    disc.run(spark, max_batches=300)
+
+    # oracle: the pre-seeded engine over the site graph WITHOUT the dead page
+    seeded = CrawlEngine(
+        os.path.join(tmp_root, "seeded"), batch_size=BATCH, n_partitions=8
+    )
+    seeded.attach_store(ppath, faults)
+    seeded.init(
+        datagen.site_graph_df(spark, N_PAGES, VPP).filter(F.col("page") != bad_page),
+        robots,
+    )
+    seeded.run(spark, max_batches=300)
+
+    assert [tuple(r) for r in disc.crawl_order(spark).collect()] == [
+        tuple(r) for r in seeded.crawl_order(spark).collect()
+    ]
+    assert {tuple(r) for r in disc.seen_set(spark).collect()} == {
+        tuple(r) for r in seeded.seen_set(spark).collect()
+    }
+
+    # the dead page: permanent in the listing table, budget-spent attempts,
+    # and a permanent record in the failures log under its page URL
+    lst = {r["page"]: r for r in disc.listing.read(spark).collect()}
+    assert lst[bad_page]["status"] == "permanent"
+    assert lst[bad_page]["error_class"] == "temporary"
+    assert lst[bad_page]["attempts"] == 4  # RETRY_BUDGET["temporary"]
+    assert all(r["status"] == "done" for p, r in lst.items() if p != bad_page)
+    fs = {
+        r["image_id"]: (r["error_class"], r["attempts"], r["permanent"])
+        for r in disc.failure_state(spark).collect()
+    }
+    assert fs[f"page:{bad_page}"] == ("temporary", 4, True)
+
+
+def test_listing_page_retries_then_succeeds(spark, tmp_path):
+    """A listing page that fails its first two fetches is retried after
+    backoff and eventually delivers: the discovered-URL set, seen set and
+    per-page listing state all converge to the fault-free crawl's (the
+    trace ORDER legitimately differs — lower pages schedule while the top
+    page backs off)."""
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+    flaky_page = N_PAGES
+
+    disc = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "disc"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    disc.attach_store(ppath, faults)
+    disc.attach_listing_faults({flaky_page: ("connection reset by peer", 2)})
+    disc.init_discovery(spark, N_PAGES, VPP, robots)
+    disc.run(spark, max_batches=300)
+
+    clean = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "clean"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    clean.attach_store(ppath, faults)
+    clean.init_discovery(spark, N_PAGES, VPP, robots)
+    clean.run(spark, max_batches=300)
+
+    assert {tuple(r) for r in disc.discovered_urls(spark).collect()} == {
+        tuple(r) for r in clean.discovered_urls(spark).collect()
+    }
+    assert {tuple(r) for r in disc.seen_set(spark).collect()} == {
+        tuple(r) for r in clean.seen_set(spark).collect()
+    }
+    lst = {r["page"]: r for r in disc.listing.read(spark).collect()}
+    assert all(r["status"] == "done" for r in lst.values())
+    assert lst[flaky_page]["attempts"] == 3  # 2 failures + the success
+
+
 def test_discovery_resumes_after_restart(spark, tmp_path):
     tmp_root = str(tmp_path)
     robots, ppath, faults = _fixture(spark, tmp_root)
@@ -94,3 +180,33 @@ def test_discovery_resumes_after_restart(spark, tmp_path):
     assert [tuple(r) for r in resumed.crawl_order(spark).collect()] == [
         tuple(r) for r in full.crawl_order(spark).collect()
     ]
+
+
+def test_first_listing_page_failure_does_not_end_crawl(spark, tmp_path):
+    """Regression: with an EMPTY frontier (nothing discovered yet) and the
+    only listing page backing off, run_batch must clock-jump to the listing
+    retry time instead of declaring the crawl complete — the single-page
+    flaky crawl must converge to the fault-free one."""
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+
+    disc = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "disc"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    disc.attach_store(ppath, faults)
+    disc.attach_listing_faults({1: ("timeout fetching listing", 2)})
+    disc.init_discovery(spark, 1, VPP, robots)  # ONE page, fails twice
+    disc.run(spark, max_batches=100)
+
+    clean = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "clean"), batch_size=BATCH, n_partitions=8, lookahead=1
+    )
+    clean.attach_store(ppath, faults)
+    clean.init_discovery(spark, 1, VPP, robots)
+    clean.run(spark, max_batches=100)
+
+    assert [tuple(r) for r in disc.crawl_order(spark).collect()] == [
+        tuple(r) for r in clean.crawl_order(spark).collect()
+    ]
+    lst = {r["page"]: r for r in disc.listing.read(spark).collect()}
+    assert lst[1]["status"] == "done" and lst[1]["attempts"] == 3

@@ -220,6 +220,10 @@ def test_requeue_recrawls_exactly_the_reopened_urls(spark, tmp_path, seen_filter
         "cuckoo-delete" if seen_filter == "cuckoo" else "bloom-rebuild"
     )
     assert eng.seen_set(spark).count() == n0 - 10
+    # payload retraction: the requeued rows' stored bytes left the payload
+    # log in the same maintenance commit — a retraction must not keep the
+    # retracted payload live
+    assert eng.payload_out.read(spark).count() == n0 - 10
     fr = eng.frontier.read(spark)
     assert fr.filter(F.col("status") == "pending").count() == 10
 
@@ -238,6 +242,11 @@ def test_requeue_recrawls_exactly_the_reopened_urls(spark, tmp_path, seen_filter
         .collect()
     }
     assert refetched == {r["url_hash"] for r in reopen.collect()}
+    # recrawl appended fresh payload rows — exactly one row per image_id,
+    # never a duplicate for downstream payload readers
+    payload = eng.payload_out.read(spark)
+    assert payload.count() == n0
+    assert payload.groupBy("image_id").count().filter(F.col("count") > 1).count() == 0
 
 
 # ------------------------------------------------- engine-level passes
@@ -260,7 +269,11 @@ def test_midcrawl_maintenance_preserves_trace(spark, tmp_path):
     part.run_batch(spark)
     part.run_batch(spark)
     compacted = part.compact_state(spark)
-    assert set(compacted) == {"seen", "failures", "payload_out", "schedule_log"}
+    # compaction also folds the filter delta journal into the base bitsets
+    # (and truncates the journal), so the bloom tables report versions too
+    assert set(compacted) == {
+        "seen", "failures", "payload_out", "schedule_log", "bloom", "bloom_delta",
+    }
     # the maintenance checkpoint must not re-carry stats: metrics() keys
     # rows on batch_id and would double-count the last batch
     m = part.metrics(spark)

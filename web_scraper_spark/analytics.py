@@ -1181,6 +1181,148 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Event-stream operators (sessionization / as-of join / rolling windows /
+# funnel — the stateful-stream families of SURVEY §2.9 expressed as batch
+# window plans, the shapes a training-data pipeline runs over clickstreams)
+# =====================================================================
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): a new session
+    starts where the per-user gap exceeds the threshold; sessions roll up
+    to (n_events, start, end, sum_value).
+
+    The batch twin of the streaming session-window operator (the reference
+    sessionizes implicitly via its sequential per-page loop; this is the
+    generalized form). Scale: ONE shuffle on user_id — the lag, the
+    running-sum session id, and the final groupBy all share the
+    (user_id, ts) clustering, so Spark plans a single sort per partition
+    and the session agg combines map-side. No driver state; skewed users
+    bound the partition, not the plan."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs an instant — the LTZ
+    # cast's fixed offset cancels in the gap difference
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(is_new).over(w).cast("int"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    click at-or-before it (the classic point-in-time lookup Spark lacks as
+    a builtin). Implemented as the scale-correct union-and-carry plan:
+    tag both streams, sort per user by (ts, is_right-last), carry the last
+    click forward with last(ignorenulls) — ONE shuffle on user_id, no
+    range-join explosion, no per-row lookup. A range join here would be
+    O(purchases × clicks) per user before pruning; the carry plan is
+    O(n log n) per partition, independent of match distance."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_q"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_q"),
+    )
+    # clicks sort before purchases at equal ts (is_q asc) so an
+    # exactly-simultaneous click still matches (<= semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_q", "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_q",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    # sentinel-coalesce the no-match-yet rows (purchase before any click):
+    # nullable output values are hash-hostile in the gate compare, and the
+    # oracle coalesces identically
+    return carried.filter(F.col("is_q") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.col("click_ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+        ).alias("click_ts"),
+    )
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling count + sum (time-RANGE frame, not
+    row frame — the windowed-aggregation shape of a rate limiter or
+    per-host budget monitor). Scale: one shuffle on user_id; the RANGE
+    frame evaluates with two sorted pointers per partition (O(n) amortized,
+    state = one window's rows), never materializing per-row neighbor
+    lists."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("int").alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user milestone funnel (view → click → purchase by first-touch
+    timestamps): one groupBy with conditional mins, stage flags by strict
+    timestamp order. Scale: a single map-side-combinable aggregate — no
+    joins, no windows; 10^9 users is just a bigger hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    # coalesce: a NULL milestone makes the > comparison NULL, and the flag
+    # must read FALSE, not NULL (three-valued logic bites identically in
+    # the DuckDB oracle, which coalesces the same way)
+    clicked = F.coalesce(viewed & (F.col("first_click") > F.col("first_view")), F.lit(False))
+    purchased = F.coalesce(clicked & (F.col("first_purchase") > F.col("first_click")), F.lit(False))
+    return agg.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        viewed.alias("stage_view"),
+        clicked.alias("stage_click"),
+        purchased.alias("stage_purchase"),
+    )
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1220,6 +1362,10 @@ QUERIES = {
     "image_decode_stats": q_image_decode_stats,
     "image_features": q_image_features,
     "html_extraction": q_html_extraction,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "rolling_window": q_rolling_window,
+    "event_funnel": q_event_funnel,
 }
 
 _JACCARD_ORACLE = """
@@ -1499,6 +1645,57 @@ FROM documents
     "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
     "embedding_knn_lsh": _lsh_oracle_sql(),
     "embedding_knn_ivf": _ivf_oracle_sql(),
+    "sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id, CAST(count(*) AS INT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+    "asof_join": """
+SELECT p.event_id, p.user_id, p.ts,
+       coalesce(c.event_id, -1) AS click_id,
+       coalesce(c.ts, TIMESTAMP '1970-01-01') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "rolling_window": """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS INT) AS n_events_1h,
+       round(sum(value) OVER w, 4) AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    "event_funnel": """
+WITH agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_view, first_click, first_purchase,
+       first_view IS NOT NULL AS stage_view,
+       coalesce(first_view IS NOT NULL AND first_click > first_view, FALSE)
+         AS stage_click,
+       coalesce(first_view IS NOT NULL AND first_click > first_view
+                AND first_purchase > first_click, FALSE) AS stage_purchase
+FROM agg
+""",
 }
 
 

@@ -5,7 +5,19 @@ Reference parity: MP4/image magic-byte checks (file_validator.py:185-220,
 file_downloader.py:622-676), min-size predicates (file_downloader.py:590-606),
 generalized to the image+caption payload of BASELINE.json ``input_hint``.
 
-Container constraints: PIL/imagehash are NOT installed. Two codecs:
+Codec selection: when PIL is importable it is the preferred DECODER
+(``codec="auto"``) — it reads every PNG/JPEG variant a live origin can
+serve, where the numpy stub decoder covers only the subset below. The
+numpy codecs remain the fallback AND the canonical ENCODERS: datagen
+ground truth (the VALUES oracles for image_decode_stats/image_features)
+is computed from the stub codec's deterministic bytes, so ``encode_image``
+never silently switches on PIL presence — PIL encoding is explicit
+(``codec="pil"``). Blobs carrying the stub lossy magic (FAKE_JPEG_SIG)
+always route to the stub decoder whatever the codec setting: they are not
+real JPEG and PIL cannot read them.
+
+Container constraints: PIL/imagehash are NOT installed here. Two stub
+codecs:
 
   * ``png`` — a REAL minimal PNG codec (pure numpy + stdlib zlib): 8-bit RGB,
     filter type 0, single IDAT. Losslessly round-trips; emitted files are
@@ -32,6 +44,14 @@ import zlib
 
 import numpy as np
 import pandas as pd
+
+try:  # optional real codecs — absent in this container, present on a cluster
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - exercised by the numpy-only CI
+    _PILImage = None
+    HAVE_PIL = False
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 JPEG_SIG = b"\xff\xd8\xff"
@@ -134,10 +154,46 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return np.clip(q.astype(np.int32) * _JPEG_Q, 0, 255).astype(np.uint8)
 
 
+# -------------------------------------------------------------- PIL path
+
+
+def _require_pil():
+    if not HAVE_PIL:
+        raise NotImplementedError("codec='pil' requires PIL (not in container)")
+
+
+def _decode_pil(data: bytes) -> np.ndarray:
+    """Real decoder for any PNG/JPEG variant (a live origin's bytes)."""
+    import io
+
+    _require_pil()
+    with _PILImage.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def _encode_pil(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    import io
+
+    _require_pil()
+    buf = io.BytesIO()
+    if fmt == "png":
+        _PILImage.fromarray(img, "RGB").save(buf, format="PNG")
+    elif fmt == "jpeg":
+        _PILImage.fromarray(img, "RGB").save(buf, format="JPEG", quality=quality)
+    else:
+        raise NotImplementedError(f"fmt {fmt!r}")
+    return buf.getvalue()
+
+
 # ------------------------------------------------------------- dispatch
 
 
-def encode_image(img: np.ndarray, fmt: str) -> bytes:
+def encode_image(img: np.ndarray, fmt: str, codec: str = "numpy") -> bytes:
+    """Default encoder stays the deterministic numpy/stub codec even when
+    PIL is installed — datagen ground truth depends on these exact bytes.
+    Pass ``codec="pil"`` for real-codec output on a cluster."""
+    if codec == "pil":
+        return _encode_pil(img, fmt)
     if fmt == "png":
         return encode_png(img)
     if fmt == "jpeg":
@@ -145,7 +201,17 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(f"fmt {fmt!r}")
 
 
-def decode_image(data: bytes, fmt: str) -> np.ndarray:
+def decode_image(data: bytes, fmt: str, codec: str = "auto") -> np.ndarray:
+    """``codec="auto"``: PIL when importable (reads every variant a live
+    origin serves), numpy stub otherwise; "numpy"/"pil" force a path.
+    Stub-lossy blobs (FAKE_JPEG_SIG) always take the stub decoder — they
+    are not real JPEG. PNG round-trips identically on both paths (the stub
+    encoder emits standard filter-0 PNG), so phash/dimension ground truth
+    is codec-independent."""
+    if fmt == "jpeg" and data[:4] == FAKE_JPEG_SIG:
+        return _decode_jpeg(data)
+    if codec == "pil" or (codec == "auto" and HAVE_PIL):
+        return _decode_pil(data)
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
@@ -205,13 +271,18 @@ def hamming64(a: int, b: int) -> int:
 
 
 def decode_validate_batch(
-    blobs: pd.Series, fmts: pd.Series, expected_phash: pd.Series | None = None
+    blobs: pd.Series,
+    fmts: pd.Series,
+    expected_phash: pd.Series | None = None,
+    codec: str = "auto",
 ) -> pd.DataFrame:
     """Batch decode + validate (pandas-UDF body, SURVEY §2.10 UDF #5).
 
     Returns columns: ok(bool), w(int32), h(int32), phash(int64),
     error(str|None). Validation = magic-bytes sniff matches fmt, min size,
     decode succeeds, and (when expected_phash given) phash equality.
+    ``codec`` selects the decoder (see decode_image) — the loop stays
+    per-IMAGE either way (the codec call dominates), never per-pixel.
     """
     n = len(blobs)
     ok = np.zeros(n, bool)
@@ -229,7 +300,7 @@ def decode_validate_batch(
             err[i] = f"validation: magic bytes say {sniffed}, expected {fmt}"
             continue
         try:
-            img = decode_image(bytes(data), fmt)
+            img = decode_image(bytes(data), fmt, codec=codec)
         except Exception as e:  # truncated/corrupt payload
             err[i] = f"validation: decode failed: {e}"
             continue

@@ -32,9 +32,16 @@ fixed job overhead is what murders micro-batch engines, at any scale)::
         ▶ checkpoint (atomic multi-table snapshot pin; per-batch metrics
           ride in the checkpoint JSON — no extra write job)
 
-~9 Spark jobs per micro-batch total. Every per-row operation is a column
-expression or an Arrow-batched pandas UDF; nothing iterates rows on the
-driver.
+~9 logical steps per micro-batch; the Spark UI counts ~38 job launches for
+them (measured, stable across 10^3 batches — scripts/soak.py asserts it
+stays flat): each broadcast join materializes its build side as its own
+job (~18, all bounded batch-sized builds), AQE splits every driver
+aggregate into map+result jobs, and commits are one write job per table.
+All fixed per-batch overhead, independent of frontier size — at production
+batch sizes the jobs are minutes of parallel work and the launches are
+noise, which is the property that matters. Every per-row operation is a
+column expression or an Arrow-batched pandas UDF; nothing iterates rows on
+the driver.
 """
 
 from __future__ import annotations
@@ -88,6 +95,7 @@ class CrawlEngine:
         max_storage_bytes: int | None = None,
         fetch_timeout_s: float = 600.0,
         seen_filter: str = "bloom",
+        filter_fold_groups: int = 64,
     ):
         self.root = root
         self.batch_size = batch_size
@@ -116,6 +124,14 @@ class CrawlEngine:
         # window; video_processor.py:437: 600 s/item). The synthetic store
         # cannot stall; sources/store.http_fetch_rows consumes this.
         self.fetch_timeout_s = fetch_timeout_s
+        # Filter maintenance is journaled: each batch APPENDS its newly-seen
+        # keys to ``bloom_delta`` (O(new keys) write I/O) instead of
+        # rewriting all bitset shards (O(m) — at 10^10-key sizing that was
+        # ~12 GB re-serialized per micro-batch). Deltas fold into the base
+        # bitsets lazily on read and durably once the journal reaches
+        # ``filter_fold_groups`` file groups (and at compact_state cadence),
+        # amortizing the O(m) rewrite over that many batches.
+        self.filter_fold_groups = filter_fold_groups
         os.makedirs(root, exist_ok=True)
         self.frontier = SnapshotTable(root, "frontier")
         self.seen = SnapshotTable(root, "seen")
@@ -124,6 +140,7 @@ class CrawlEngine:
         self.schedule_log = SnapshotTable(root, "schedule_log")
         self.robots = SnapshotTable(root, "robots")
         self.bloom = SnapshotTable(root, "bloom")
+        self.bloom_delta = SnapshotTable(root, "bloom_delta")
         self.checkpoints = CheckpointLog(root)
 
     # ------------------------------------------------------------- init
@@ -159,6 +176,7 @@ class CrawlEngine:
                     "schedule_log": 0,
                     "robots": rv,
                     "bloom": bv,
+                    "bloom_delta": 0,
                 },
                 "next_seq": 1,
                 "logical_s": 0.0,
@@ -206,6 +224,52 @@ class CrawlEngine:
                 )
             bv = self.bloom.commit_overwrite(filt, origin="init")
         return sv, seed_count, bv
+
+    def _filter_upd(self):
+        """The incremental insert op for the configured filter kind."""
+        if self.seen_filter == "cuckoo":
+            from ..operators.cuckoo import update_cuckoo_shards
+
+            return update_cuckoo_shards
+        from ..operators.dedup import update_bloom_shards
+
+        return update_bloom_shards
+
+    def _read_filter(self, spark: SparkSession, v: dict) -> DataFrame | None:
+        """The seen filter as of checkpoint versions ``v``: base bitset
+        shards with any outstanding journal keys folded in lazily (the fold
+        runs executor-side per shard when the probe evaluates — the filter
+        is never rebuilt from the seen log here). Read I/O is O(m) for the
+        base + O(outstanding delta keys); write I/O per batch was the
+        journal append, O(new keys)."""
+        if not self.use_bloom:
+            return None
+        base = self.bloom.read(spark, int(v.get("bloom", 0)))
+        if base is None:
+            return None
+        keys = self.bloom_delta.read(spark, int(v.get("bloom_delta", 0)))
+        if keys is None:
+            return base
+        return self._filter_upd()(base, keys, n_shards=self.bloom_shards_n)
+
+    def _fold_filter(self, spark: SparkSession, v: dict, origin: str) -> dict | None:
+        """Durably fold the delta journal into the base bitsets and truncate
+        the journal — the amortized O(m) rewrite the per-batch path avoids.
+        Mutates ``v`` in place with the new versions; the caller commits
+        them in its checkpoint (base and journal flip together — a key is
+        never in both, which matters for cuckoo where re-inserting a folded
+        key would store a second copy)."""
+        dv = int(v.get("bloom_delta", 0))
+        keys = self.bloom_delta.read(spark, dv)
+        if keys is None:
+            return None
+        base = self.bloom.read(spark, int(v.get("bloom", 0)))
+        if base is None:
+            return None
+        folded = self._filter_upd()(base, keys, n_shards=self.bloom_shards_n)
+        v["bloom"] = self.bloom.commit_overwrite(folded, origin=origin)
+        v["bloom_delta"] = self.bloom_delta.truncate()
+        return {"bloom": v["bloom"], "bloom_delta": v["bloom_delta"]}
 
     # ---------------------------------------------------------- helpers
 
@@ -261,9 +325,7 @@ class CrawlEngine:
 
         seen = self.seen.read(spark, v["seen"])
         robots = self.robots.read(spark, v["robots"])
-        bloom_shards = (
-            self.bloom.read(spark, v.get("bloom", 0)) if self.use_bloom else None
-        )
+        bloom_shards = self._read_filter(spark, v)
         now = self._logical_ts(logical_s)
 
         # -- take the micro-batch (window-ranked priority queue) ------------
@@ -271,7 +333,13 @@ class CrawlEngine:
         # three columns reach the parquet scan, everything else is pruned.
         frontier_full = self.frontier.read(spark, v["frontier"])
         if frontier_full is None:
-            return None  # never-seeded table
+            # never-seeded OR still-empty (a discovery plan whose only
+            # remaining work is a backing-off listing page): the clock-jump
+            # path decides — _next_retry_ts is subclass-aware, so a pending
+            # listing retry jumps the clock instead of ending the crawl
+            return self._clock_jump_or_done(
+                spark, ck, v, batch_id, next_seq, seen_count
+            )
         frontier_meta = frontier_full.select("priority", "status", "next_attempt_ts")
         contributing = priority_cutoff(
             eligible(frontier_meta, logical_now=now), self.batch_size
@@ -415,7 +483,7 @@ class CrawlEngine:
         # -- commits ----------------------------------------------------------
         ok = results.filter(F.col("ok")) if results is not None else None
         pv, sv, fv2 = v["payload_out"], v["seen"], v["failures"]
-        bv = v.get("bloom", 0)
+        bv, dv = v.get("bloom", 0), v.get("bloom_delta", 0)
         if n_ok > 0:
             new_payload = ok.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
             pv = self.payload_out.commit_append(
@@ -426,17 +494,20 @@ class CrawlEngine:
                 new_seen, base_version=v["seen"], origin=f"batch:{batch_id}"
             )
             if bloom_shards is not None:
-                # incremental maintenance: fold only the newly-seen keys in
-                if self.seen_filter == "cuckoo":
-                    from ..operators.cuckoo import update_cuckoo_shards as _upd
-                else:
-                    from ..operators.dedup import update_bloom_shards as _upd
-                bv = self.bloom.commit_overwrite(
-                    _upd(
-                        bloom_shards, new_seen.select("url_hash"), n_shards=self.bloom_shards_n
-                    ),
+                # incremental maintenance, O(new keys) in WRITE I/O too:
+                # journal the newly-seen keys (never rewrite the bitsets
+                # here); reads fold the journal lazily. Once the journal
+                # reaches filter_fold_groups file groups, fold durably —
+                # the O(m) bitset rewrite amortizes over that many batches.
+                dv = self.bloom_delta.commit_append(
+                    new_seen.select("url_hash"),
+                    base_version=dv,
                     origin=f"batch:{batch_id}",
                 )
+                if len(self.bloom_delta.lineage(dv)) >= self.filter_fold_groups:
+                    vv = {"bloom": bv, "bloom_delta": dv}
+                    self._fold_filter(spark, vv, origin=f"fold:{batch_id}")
+                    bv, dv = vv["bloom"], vv["bloom_delta"]
 
         failed_rows = None
         if n_bad > 0:
@@ -550,6 +621,7 @@ class CrawlEngine:
                 "schedule_log": tv,
                 "robots": v["robots"],
                 "bloom": bv,
+                "bloom_delta": dv,
             },
             "next_seq": next_seq + n_sched,
             "logical_s": logical_s,
@@ -564,6 +636,20 @@ class CrawlEngine:
         self.checkpoints.commit(batch_id, state)
         return stats
 
+    def _next_retry_ts(self, spark: SparkSession, v: dict):
+        """Earliest future moment any retryable work becomes eligible (None
+        when the crawl is genuinely done). Subclasses with extra retryable
+        state — the discovery plan's listing pages — override and min() in
+        their own tables' retry times."""
+        frontier = self.frontier.read(spark, v["frontier"])
+        if frontier is None:
+            return None
+        return (
+            frontier.filter(F.col("status") == "failed")
+            .agg(F.min("next_attempt_ts").alias("t"))
+            .collect()[0]["t"]
+        )
+
     def _clock_jump_or_done(
         self, spark: SparkSession, ck: dict, v: dict, batch_id: int,
         next_seq: int, seen_count: int,
@@ -572,14 +658,7 @@ class CrawlEngine:
         failures exist in the future — then jump the logical clock to the
         earliest retry time. Rare path: the full-frontier scan here runs
         only on empty batches, never per scheduled batch."""
-        frontier = self.frontier.read(spark, v["frontier"])
-        nxt = None
-        if frontier is not None:
-            nxt = (
-                frontier.filter(F.col("status") == "failed")
-                .agg(F.min("next_attempt_ts").alias("t"))
-                .collect()[0]["t"]
-            )
+        nxt = self._next_retry_ts(spark, v)
         if nxt is None:
             return None
         self.checkpoints.commit(
@@ -636,6 +715,13 @@ class CrawlEngine:
                 target_partitions=target_partitions,
             )
             out[name] = v[name] = nv
+        # the filter delta journal folds (not compacts) — outstanding key
+        # groups merge into the base bitsets and the journal truncates, so
+        # post-compaction filter reads are a single O(m) base read again
+        if self.use_bloom:
+            folded = self._fold_filter(spark, v, origin="fold:compact")
+            if folded is not None:
+                out.update(folded)
         state = {
             **self._carry_state(ck),
             "versions": v,
@@ -656,6 +742,10 @@ class CrawlEngine:
 
           * its seen rows are removed (anti-join rewrite of the seen log —
             a compaction-sized maintenance op, O(seen));
+          * its stored payload rows are retracted (anti-join rewrite of
+            payload_out on the removed rows' image_ids) — a retraction
+            must not leave the retracted bytes live, and without it a
+            recrawl would append a second payload row per image_id;
           * its key leaves the seen filter: cuckoo deletes in place
             (operators/cuckoo.delete_cuckoo_shards); Bloom cannot delete,
             so the filter is rebuilt at its existing fixed geometry from
@@ -682,19 +772,35 @@ class CrawlEngine:
             # only keys ACTUALLY in the seen set may touch the filter: a
             # cuckoo delete of a never-inserted key can evict a colliding
             # seen key's fingerprint → false negative → duplicate fetch
+            removed_rows = seen.join(F.broadcast(keys), "url_hash", "semi")
             seen_keys = (
-                seen.join(F.broadcast(keys), "url_hash", "semi")
-                .select("url_hash")
-                .distinct()
-                .localCheckpoint(eager=True)
+                removed_rows.select("url_hash").distinct().localCheckpoint(eager=True)
             )
             n_removed = seen_keys.count()
             remaining = seen.join(F.broadcast(keys), "url_hash", "left_anti")
             v["seen"] = self.seen.commit_overwrite(remaining, origin="requeue")
+            if n_removed > 0:
+                # retract the requeued rows' stored payloads in the same
+                # maintenance commit — the seen log maps url_hash →
+                # image_id, and payload rows only exist for seen rows.
+                # O(payload) rewrite, same class as the O(seen) rewrite
+                # above; requeue is a quiesced maintenance op by contract.
+                payload = self.payload_out.read(spark, int(v["payload_out"]))
+                if payload is not None:
+                    removed_ids = removed_rows.select("image_id").distinct()
+                    kept = payload.join(
+                        F.broadcast(removed_ids), "image_id", "left_anti"
+                    )
+                    v["payload_out"] = self.payload_out.commit_overwrite(
+                        kept, origin="requeue"
+                    )
 
         filter_mode = "none"
         if self.use_bloom and n_removed > 0:
-            shards = self.bloom.read(spark, int(v["bloom"]))
+            # the folded view (base + outstanding journal keys): deletes and
+            # rebuilds must see every inserted key, so the journal folds
+            # here and truncates in the same checkpoint
+            shards = self._read_filter(spark, v)
             if self.seen_filter == "cuckoo":
                 from ..operators.cuckoo import delete_cuckoo_shards
 
@@ -726,6 +832,7 @@ class CrawlEngine:
                 )
                 filter_mode = "bloom-rebuild"
             v["bloom"] = self.bloom.commit_overwrite(new_shards, origin="requeue")
+            v["bloom_delta"] = self.bloom_delta.truncate()
 
         frontier = self.frontier.read(spark, int(v["frontier"]))
         n_requeued = n_new_pending = 0
@@ -771,6 +878,75 @@ class CrawlEngine:
             "requeued": n_requeued,
             "seen_removed": n_removed,
             "filter": filter_mode,
+        }
+
+    def regrow_filter(
+        self, spark: SparkSession, capacity: int | None = None, growth: float = 4.0
+    ) -> dict:
+        """Rebuild the seen filter at a LARGER fixed geometry — the escape
+        hatch for a crawl that outgrows its init capacity estimate. The
+        geometry-fixed-at-init contract means a Bloom filter past its sizing
+        degrades in FPR (more duplicate-fetch work, never wrong results)
+        while the cuckoo filter's insert path eventually RAISES by contract
+        (operators/cuckoo.py MAX_KICKS) — this op is what to run before
+        either bites.
+
+        Quiesced, single-writer, like compact_state: reads the seen log
+        (the authoritative key set) at the checkpointed version, builds a
+        fresh filter sized for ``capacity`` keys (default: ``growth`` ×
+        current seen_count, floor 10k), commits it as the new base, and
+        truncates the delta journal in the same checkpoint — an O(seen)
+        maintenance pass, amortized over the crawl that follows.
+
+        Reference parity: the reference has no analogue (its seen set is an
+        unbounded Python set, new/duplicate_detection.py:102-165); this is
+        the price of the bounded-memory filter and is listed as such in
+        SURVEY.md §2.11."""
+        ck = self.checkpoints.latest()
+        if ck is None:
+            raise RuntimeError("regrow_filter: no checkpoint — init() first")
+        if not self.use_bloom:
+            raise RuntimeError("regrow_filter: engine runs with use_bloom=False")
+        v = dict(ck["versions"])
+        seen_count = int(ck.get("seen_count", 0))
+        cap = capacity if capacity is not None else max(int(seen_count * growth), 10_000)
+        if self.seen_filter == "cuckoo":
+            from ..operators.cuckoo import empty_cuckoo_shards
+            from ..operators.cuckoo import update_cuckoo_shards as _upd
+
+            fresh = empty_cuckoo_shards(spark, self.bloom_shards_n, cap)
+            old_geom = new_geom = "m_buckets"
+        else:
+            from ..operators.dedup import empty_bloom_shards
+            from ..operators.dedup import update_bloom_shards as _upd
+
+            fresh = empty_bloom_shards(spark, self.bloom_shards_n, cap)
+            old_geom = new_geom = "m_bits"
+        old = self.bloom.read(spark, int(v.get("bloom", 0)))
+        old_size = 0 if old is None else int(old.select(old_geom).first()[0])
+        seen = self.seen.read(spark, int(v["seen"]))
+        rebuilt = (
+            _upd(fresh, seen.select("url_hash"), n_shards=self.bloom_shards_n)
+            if seen is not None
+            else fresh
+        )
+        v["bloom"] = self.bloom.commit_overwrite(rebuilt, origin="regrow")
+        v["bloom_delta"] = self.bloom_delta.truncate()
+        state = {
+            **self._carry_state(ck),
+            "versions": v,
+            "next_seq": ck["next_seq"],
+            "logical_s": ck["logical_s"],
+            "seen_count": ck["seen_count"],
+        }
+        # no ck["stats"] carry (metrics() would double-count that batch)
+        self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
+        new_size = int(rebuilt.select(new_geom).first()[0])
+        return {
+            "capacity": cap,
+            "keys": seen_count,
+            f"old_{old_geom}": old_size,
+            f"new_{new_geom}": new_size,
         }
 
     def vacuum_state(self, keep_checkpoints: int = 1) -> dict[str, dict]:
@@ -826,9 +1002,17 @@ class CrawlEngine:
         self._origin_kind = "http"
         self._max_body_bytes = max_body_bytes
 
+    _payload_schema = None
+
     def _payload_store(self, spark: SparkSession) -> DataFrame:
         assert self._payload_path, "attach_store() first"
-        return spark.read.parquet(self._payload_path)
+        # schema cached after the first read — the payload table is read
+        # every batch and re-inferring footers is a job launch per batch
+        if self._payload_schema is not None:
+            return spark.read.schema(self._payload_schema).parquet(self._payload_path)
+        df = spark.read.parquet(self._payload_path)
+        self._payload_schema = df.schema
+        return df
 
     def _fault_bc(self, spark: SparkSession):
         return spark.sparkContext.broadcast(self._fault_plan or {})
@@ -902,18 +1086,21 @@ class CrawlEngine:
         that wrote the file group (re-referenced groups keep their
         creator's tag, Iceberg-manifest style). Metadata-only — reads
         manifests, never data files, so it is O(file groups) at any data
-        scale."""
+        scale.
+
+        The table set derives from the latest checkpoint's versions keys
+        (the same mechanism as state_at/vacuum_state), so subclass tables —
+        the discovery plan's listing, the filter delta journal — produce
+        lineage rows too, at the checkpointed (mutually consistent)
+        versions."""
+        ck = self.checkpoints.latest()
+        if ck is None:
+            raise RuntimeError("lineage: no checkpoint — init() first")
         rows = []
-        for t in (
-            self.frontier,
-            self.seen,
-            self.failures,
-            self.payload_out,
-            self.schedule_log,
-            self.robots,
-            self.bloom,
-        ):
-            rows.extend(t.lineage())
+        for name, ver in sorted(ck["versions"].items()):
+            t = getattr(self, name, None)
+            if isinstance(t, SnapshotTable):
+                rows.extend(t.lineage(int(ver)))
         return spark.createDataFrame(
             [
                 (r["table"], r["version"], r["path"], r["bucket"], r["origin"])

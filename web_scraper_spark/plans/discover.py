@@ -4,9 +4,10 @@ The reference grows its work-list by fetching listing pages and extracting
 video URLs (page_navigator.py:87-152); the base CrawlEngine starts from a
 pre-seeded frontier. ``DiscoveringCrawlEngine`` adds the discovery stage:
 
-  * a ``listing`` snapshot table of pages (page desc = crawl priority);
+  * a ``listing`` snapshot table of pages (page desc = crawl priority),
+    bucketed by ``page % 64`` like the frontier;
   * before every detail micro-batch, a top-up step fetches just enough of
-    the highest pending listing pages (HTML via mapInPandas against the
+    the highest eligible listing pages (HTML via mapInPandas against the
     deterministic synthetic origin), extracts detail URLs with the REAL
     extraction operators (functions/extraction.extract_listing_urls +
     posexplode for listing order), canonicalizes + hashes them, and
@@ -18,10 +19,23 @@ scheduler, so ``take_batch`` sees every row the reference-order oracle
 would pick — the schedule trace is identical to the pre-seeded engine's
 (tests/test_discovery.py asserts both).
 
-Listing fetches are assumed reliable in this plan (the reference retries
-listing pages too — new/scrape_orchestrator.py:262-346 — which here would
-mean routing listing rows through the same failures table; detail-side
-retry already covers that machinery).
+Listing pages retry and tombstone exactly like detail rows (the reference
+retries listing pages and records ``permanent_failed_pages`` —
+new/scrape_orchestrator.py:262-346, new/progress_manager.py:302-314):
+a failed listing fetch classifies its error, re-enters the listing table
+as ``failed`` with the shared exponential backoff, lands in the failures
+log, and flips to ``permanent`` once its class budget is spent. The
+engine's clock-jump wakeup considers listing retry times too, so a crawl
+whose only remaining work is a backing-off listing page does not
+terminate early.
+
+Page selection is the frontier's own two-phase machinery
+(operators/frontier.priority_cutoff): a hierarchical aggregate over the
+3-column listing metadata picks the contributing pages, then only their
+buckets are read. No ``orderBy().limit().collect()`` anywhere — the
+driver never merges a TakeOrderedAndProject of the listing table (at 10^7
+listing pages that merge is the same anti-scaling driver sort the
+frontier cutoff exists to avoid).
 """
 
 from __future__ import annotations
@@ -34,24 +48,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.errors import backoff_seconds, classify_error, should_retry
 from ..functions.extraction import extract_listing_urls
 from ..functions.urlnorm import canonicalize_url, extract_item_id, url_hash, url_host
+from ..operators.frontier import eligible, priority_cutoff
 from ..sources.snapshots import SnapshotTable
-from .crawl import CrawlEngine, _bucket
+from .crawl import TICK_SECONDS, CrawlEngine, _bucket
 
 LISTING_SCHEMA = T.StructType(
     [
         T.StructField("page", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("error_class", T.StringType(), True),
+        T.StructField("next_attempt_ts", T.TimestampType(), True),
     ]
 )
 
 _HTML_SCHEMA = T.StructType(
     [
         T.StructField("page", T.IntegerType(), False),
-        T.StructField("html", T.StringType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("html", T.StringType(), True),
+        T.StructField("error_msg", T.StringType(), True),
     ]
 )
+
+
+def _listing_url(page_col: F.Column) -> F.Column:
+    """Canonical URL of a listing page (the reference's
+    /latest-updates/{page}/ route — page_navigator.py:87) — gives listing
+    failures a real (url, url_hash) identity in the failures log."""
+    from ..datagen import HOT_HOST
+
+    return F.concat(
+        F.lit(f"https://{HOT_HOST}/latest-updates/"),
+        page_col.cast("string"),
+        F.lit("/"),
+    )
 
 
 class DiscoveringCrawlEngine(CrawlEngine):
@@ -59,6 +93,10 @@ class DiscoveringCrawlEngine(CrawlEngine):
         super().__init__(root, **kw)
         self.lookahead = lookahead
         self.listing = SnapshotTable(root, "listing")
+        #: {page: (error_msg, fail_count)} — fail the page's first
+        #: ``fail_count`` fetch attempts with ``error_msg`` (-1 = always).
+        #: The listing-side mirror of attach_store's detail fault plan.
+        self._listing_fault_plan: dict[int, tuple[str, int]] = {}
 
     # ------------------------------------------------------------- init
 
@@ -78,7 +116,8 @@ class DiscoveringCrawlEngine(CrawlEngine):
         ``CrawlEngine.init`` — discovered URLs already in the import are
         skipped_seen, never fetched."""
         listing = spark.createDataFrame(
-            [(p, "pending") for p in range(1, n_pages + 1)], schema=LISTING_SCHEMA
+            [(p, "pending", 0, None, None) for p in range(1, n_pages + 1)],
+            schema=LISTING_SCHEMA,
         ).withColumn("bucket", _bucket(F.col("page")))
         lv = self.listing.commit_overwrite_bucketed(listing, "bucket", origin="init")
         # empty (but valid, bucketed) frontier manifest
@@ -99,6 +138,7 @@ class DiscoveringCrawlEngine(CrawlEngine):
                     "schedule_log": 0,
                     "robots": rv,
                     "bloom": bv,
+                    "bloom_delta": 0,
                     "listing": lv,
                 },
                 "next_seq": 1,
@@ -108,6 +148,13 @@ class DiscoveringCrawlEngine(CrawlEngine):
                 "site": {"n_pages": n_pages, "vpp": videos_per_page, "seed": seed},
             },
         )
+
+    def attach_listing_faults(self, fault_plan: dict[int, tuple[str, int]]) -> None:
+        """Fault-inject listing-page fetches: {page: (error_msg,
+        fail_count)} — the page's first ``fail_count`` attempts fail with
+        ``error_msg`` (−1 = every attempt; the page tombstones permanent
+        once its error class's retry budget is spent)."""
+        self._listing_fault_plan = dict(fault_plan)
 
     def _frontier_bucketed_schema(self):
         from .. import schemas
@@ -119,17 +166,16 @@ class DiscoveringCrawlEngine(CrawlEngine):
     # -------------------------------------------------------- discovery
 
     def _discover_step(self, spark: SparkSession) -> bool:
-        """Top up the detail frontier from pending listing pages (highest
+        """Top up the detail frontier from eligible listing pages (highest
         first) until ≥ lookahead×batch_size rows are pending. Returns True
-        if anything was discovered."""
+        if any page was attempted (listing state advanced)."""
         ck = self.checkpoints.latest()
         v = ck["versions"]
         if "listing" not in v:
             return False
         site = ck["site"]
-        listing = self.listing.read(spark, v["listing"])
-        pending_pages = listing.filter(F.col("status") == "pending")
-        frontier = self.frontier.read(spark, v["frontier"])
+        batch_id = ck["batch_id"] + 1
+        now = self._logical_ts(float(ck["logical_s"]) + TICK_SECONDS)
         # pending-detail count is maintained in the checkpoint (seeded 0 at
         # init, +discovered here, −consumed in run_batch) — the per-batch
         # full-frontier count() this replaces was an O(frontier) scan per
@@ -137,47 +183,81 @@ class DiscoveringCrawlEngine(CrawlEngine):
         if "pending_detail" in ck:
             n_pending_detail = int(ck["pending_detail"])
         else:
+            frontier_full = self.frontier.read(spark, v["frontier"])
             n_pending_detail = (
-                0 if frontier is None else frontier.filter(F.col("status") == "pending").count()
+                0
+                if frontier_full is None
+                else frontier_full.filter(F.col("status") == "pending").count()
             )
         need = self.lookahead * self.batch_size - n_pending_detail
         if need <= 0:
             return False
         d_pages = math.ceil(need / site["vpp"])
-        pages = [
-            r["page"]
-            for r in pending_pages.orderBy(F.col("page").desc()).limit(d_pages).collect()
-        ]
-        if not pages:
-            return False
 
-        # "fetch" the listing pages: deterministic synthetic origin HTML
-        # generated inside the Arrow batch (a live deployment swaps this
+        # -- page selection: the frontier's own two-phase cutoff ------------
+        # phase 1: hierarchical aggregate over 3-column listing metadata —
+        # bounded driver work, no TakeOrderedAndProject limit-merge
+        listing_meta = self.listing.read(spark, v["listing"]).select(
+            F.col("page").alias("priority"), "status", "next_attempt_ts"
+        )
+        contributing = priority_cutoff(
+            eligible(listing_meta, logical_now=now), d_pages
+        )
+        if not contributing:
+            return False
+        pages = [p for p, _ in contributing[:d_pages]]
+        # phase 2: read ONLY the buckets holding the contributing pages
+        page_buckets = sorted({p % 64 for p in pages})
+        pruned = self.listing.read_buckets(spark, page_buckets, v["listing"])
+        sel = eligible(pruned, logical_now=now).filter(F.col("page").isin(pages))
+
+        # -- "fetch" the listing pages ---------------------------------------
+        # deterministic synthetic origin HTML generated inside the Arrow
+        # batch, with fault injection (a live deployment swaps this
         # mapInPandas body for batched HTTP — same shape as the payload
         # fetch stage in sources/store.py)
         n_pages_total, vpp, seed = site["n_pages"], site["vpp"], site["seed"]
+        fault_bc = spark.sparkContext.broadcast(self._listing_fault_plan)
 
         def _fetch_listing(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from ..datagen import listing_html_for
 
+            faults = fault_bc.value
             for pdf in it:
+                htmls, errs = [], []
+                for p, att in zip(pdf["page"], pdf["attempts"]):
+                    fault = faults.get(int(p))
+                    if fault is not None and (fault[1] < 0 or int(att) < fault[1]):
+                        htmls.append(None)
+                        errs.append(fault[0])
+                    else:
+                        htmls.append(listing_html_for(int(p), n_pages_total, vpp, seed))
+                        errs.append(None)
                 yield pd.DataFrame(
                     {
                         "page": pdf["page"],
-                        "html": [
-                            listing_html_for(int(p), n_pages_total, vpp, seed)
-                            for p in pdf["page"]
-                        ],
+                        "attempts": pdf["attempts"],
+                        "html": htmls,
+                        "error_msg": errs,
                     }
                 )
 
-        pages_df = spark.createDataFrame([(p,) for p in pages], "page int")
-        html = pages_df.repartition(min(len(pages), self.n_partitions)).mapInPandas(
-            _fetch_listing, schema=_HTML_SCHEMA
+        fetched = (
+            sel.select("page", "attempts")
+            .repartition(min(len(pages), self.n_partitions))
+            .mapInPandas(_fetch_listing, schema=_HTML_SCHEMA)
+            .localCheckpoint(eager=True)  # consumed by extraction AND status
+        )
+        ok_html = fetched.filter(F.col("error_msg").isNull())
+        failed = (
+            fetched.filter(F.col("error_msg").isNotNull())
+            .withColumn("error_class", classify_error("error_msg"))
+            .withColumn("attempts_new", F.col("attempts") + 1)
+            .withColumn("retry", should_retry("error_class", "attempts_new"))
         )
 
         # extract → canonicalize → frontier rows (REAL operators: S2 + F6/F7)
-        hits = html.select(
+        hits = ok_html.select(
             "page", F.posexplode(extract_listing_urls(F.col("html"))).alias("position", "raw_url")
         )
         canon = hits.select(
@@ -195,6 +275,7 @@ class DiscoveringCrawlEngine(CrawlEngine):
             F.lit(None).cast("string").alias("error_class"),
             F.lit(None).cast("timestamp").alias("next_attempt_ts"),
         )
+        frontier = self.frontier.read(spark, v["frontier"])
         if frontier is not None:
             new_rows = new_rows.join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
@@ -217,35 +298,69 @@ class DiscoveringCrawlEngine(CrawlEngine):
                 merged = new_rows
             fv = self.frontier.commit_merge_buckets(
                 merged, "bucket", touched, base_version=v["frontier"],
-                origin=f"discover:{ck['batch_id'] + 1}",
+                origin=f"discover:{batch_id}",
             )
 
-        # listing pages → done (bucket merge on the touched page buckets)
-        page_buckets = sorted({p % 64 for p in pages})
-        lst_b = listing.withColumn("bucket", _bucket(F.col("page"))).filter(
-            F.col("bucket").isin(page_buckets)
-        )
-        pages_lit = spark.createDataFrame([(p,) for p in pages], "page int")
-        updated = (
-            lst_b.join(F.broadcast(pages_lit.withColumn("__done", F.lit(True))), "page", "left")
-            .withColumn(
-                "status",
-                F.when(F.col("__done"), F.lit("done")).otherwise(F.col("status")),
+        # -- listing failures → failures log (reference parity:
+        #    new/progress_manager.py:302-314 permanent_failed_pages) --------
+        fv2 = v["failures"]
+        new_failures = failed.select(
+            url_hash(_listing_url(F.col("page"))).alias("url_hash"),
+            _listing_url(F.col("page")).alias("url"),
+            F.concat(F.lit("page:"), F.col("page").cast("string")).alias("image_id"),
+            "error_class",
+            F.col("attempts_new").alias("attempts"),
+            (~F.col("retry")).alias("permanent"),
+            # int like the detail rows' lit(next_seq+n) — the failures log's
+            # file groups must agree on the column type
+            F.lit(batch_id).alias("last_attempt_seq"),
+        ).localCheckpoint(eager=True)
+        n_failed = new_failures.count()
+        if n_failed > 0:
+            fv2 = self.failures.commit_append(
+                new_failures, base_version=v["failures"],
+                origin=f"discover:{batch_id}",
             )
-            .drop("__done")
-            .select("page", "status", "bucket")
+
+        # -- listing state merge: done / failed+backoff / permanent ---------
+        null_str = F.lit(None).cast("string")
+        null_ts = F.lit(None).cast("timestamp")
+        updates = ok_html.select(
+            "page",
+            F.lit("done").alias("status"),
+            (F.col("attempts") + 1).alias("attempts"),
+            null_str.alias("error_class"),
+            null_ts.alias("next_attempt_ts"),
+        ).unionByName(
+            failed.select(
+                "page",
+                F.when(F.col("retry"), "failed").otherwise("permanent").alias("status"),
+                F.col("attempts_new").alias("attempts"),
+                F.col("error_class"),
+                F.when(
+                    F.col("retry"),
+                    now
+                    + F.make_dt_interval(
+                        secs=backoff_seconds("error_class", "attempts_new")
+                    ),
+                ).otherwise(null_ts).alias("next_attempt_ts"),
+            )
+        ).withColumn("bucket", _bucket(F.col("page")))
+        untouched = pruned.withColumn("bucket", _bucket(F.col("page"))).join(
+            F.broadcast(updates.select("page")), "page", "left_anti"
         )
         lv = self.listing.commit_merge_buckets(
-            updated, "bucket", page_buckets, base_version=v["listing"],
-            origin=f"discover:{ck['batch_id'] + 1}",
+            untouched.unionByName(updates.select(*untouched.columns)),
+            "bucket", page_buckets, base_version=v["listing"],
+            origin=f"discover:{batch_id}",
         )
 
         self.checkpoints.commit(
-            ck["batch_id"] + 1,
+            batch_id,
             {
                 **self._carry_state(ck),
                 **{k: ck[k] for k in ("next_seq", "logical_s", "seen_count", "site")},
-                "versions": {**v, "frontier": fv, "listing": lv},
+                "versions": {**v, "frontier": fv, "failures": fv2, "listing": lv},
                 "pending_detail": n_pending_detail + n_new,
             },
         )
@@ -259,6 +374,22 @@ class DiscoveringCrawlEngine(CrawlEngine):
         if stats is None and discovered:
             return {"discovery_only": True, "scheduled": 0}
         return stats
+
+    def _next_retry_ts(self, spark: SparkSession, v: dict):
+        """Clock-jump wakeup must see listing retries too: a crawl whose
+        only remaining work is a backing-off listing page is not done."""
+        nxt = super()._next_retry_ts(spark, v)
+        if "listing" in v:
+            listing = self.listing.read(spark, int(v["listing"]))
+            if listing is not None:
+                lst = (
+                    listing.filter(F.col("status") == "failed")
+                    .agg(F.min("next_attempt_ts").alias("t"))
+                    .collect()[0]["t"]
+                )
+                if lst is not None and (nxt is None or lst < nxt):
+                    nxt = lst
+        return nxt
 
     # ---------------------------------------------------------- queries
 

@@ -56,6 +56,11 @@ class SnapshotTable:
     def __init__(self, root: str, name: str):
         self.root = os.path.join(root, name)
         self.name = name
+        # snapshot schemas are commit-invariant (append/merge preserve
+        # them), so one inference pays for every subsequent read — an
+        # engine micro-batch reads ~8 tables, and each uncached
+        # spark.read.parquet costs a footer-inference pass per call
+        self._schema_cache = None
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
 
@@ -170,6 +175,14 @@ class SnapshotTable:
         entries = [e for e in prev if e["bucket"] not in changed]
         entries.extend(self._write_bucketed(df, bucket_col, origin))
         return self._commit_manifest(entries)
+
+    def truncate(self) -> int:
+        """Commit an empty snapshot (zero file groups) — the table reads as
+        None afterwards. Metadata-only: no data files are written or
+        deleted (vacuum collects the now-unreferenced groups later). Used
+        by the filter delta journal: folding the journal into the base
+        bitsets truncates the journal in the same checkpoint."""
+        return self._commit_manifest([])
 
     # -------------------------------------------------------- maintenance
 
@@ -297,7 +310,14 @@ class SnapshotTable:
         paths = [e["path"] for e in self._manifest(v)["entries"]]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._read_paths(spark, paths)
+
+    def _read_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        if self._schema_cache is not None:
+            return spark.read.schema(self._schema_cache).parquet(*paths)
+        df = spark.read.parquet(*paths)
+        self._schema_cache = df.schema
+        return df
 
     def read_buckets(
         self, spark: SparkSession, buckets: list, version: int | None = None
@@ -317,7 +337,7 @@ class SnapshotTable:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._read_paths(spark, paths)
 
     def read_upsert_log(
         self, spark: SparkSession, key: str, order_col: str, version: int | None = None
