@@ -1322,6 +1322,111 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns — written to the Java-regex ∩ RE2 common subset (ASCII
+#: `\b`, no backreferences/lookaround) so the identical pattern string runs
+#: JVM-side in Spark and in the DuckDB oracle.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+
+#: stopword probe set for the Gopher-style quality rule ("contains at
+#: least one of the common function words").
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate per document: token-count
+    bounds, mean-word-length window, repetition (distinct-token ratio),
+    alphabetic-token ratio, stopword presence — each flag surfaced plus the
+    conjunctive ``keep`` verdict (the pre-training corpus filter shape).
+
+    Scale: pure column expressions over one scan — no shuffle, no UDF;
+    whole-stage codegen end to end. Rule set after Rae et al. 2021 (Gopher)
+    §A1.1 and Raffel et al. 2020 (C4) §2.2, thresholds adapted to the
+    synthetic corpus."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    toks = F.col("toks")
+    n = F.size(toks)
+    # total chars minus the (n-1) separators, over n tokens — avoids a
+    # second pass over the token array
+    mean_wlen = (F.length("text") - n + F.lit(1)) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))) / n
+    n_stop = sum(
+        F.when(F.array_contains(toks, w), 1).otherwise(0) for w in QUALITY_STOPWORDS
+    ).cast("int")
+    len_ok = (n >= 20) & (n <= 100_000)
+    wlen_ok = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    rep_ok = distinct_ratio >= 0.2
+    alpha_ok = alpha_ratio >= 0.8
+    stop_ok = n_stop >= 1
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        n_stop.alias("n_stopwords_present"),
+        len_ok.alias("len_ok"),
+        wlen_ok.alias("wlen_ok"),
+        rep_ok.alias("rep_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (len_ok & wlen_ok & rep_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text: emails / phone numbers / IPv4 addresses →
+    typed placeholders, with per-class match counts (the pre-training
+    scrubbing pass; reference has no equivalent — training-data pipeline
+    op). The synthetic corpus carries no PII, so a deterministic augmented
+    column plants one email (doc_id % 3 == 0) or one phone + one IP
+    (doc_id % 3 == 1) per doc — the SAME augmentation expression runs in
+    the DuckDB oracle, so the scrub itself is what's verified (md5 of the
+    scrubbed text, value-for-value).
+
+    Scale: one scan, three JVM-side regexp_replace passes, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when(
+            doc_id % 3 == 1,
+            F.concat(
+                F.lit(" call 555-0199 or visit 10.0.0."),
+                (doc_id % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IP_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1366,6 +1471,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "rolling_window": q_rolling_window,
     "event_funnel": q_event_funnel,
+    "quality_filter": q_quality_filter,
+    "pii_scrub": q_pii_scrub,
 }
 
 _JACCARD_ORACLE = """
@@ -1387,6 +1494,38 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
 """
+
+#: pii_scrub oracle, with the shared Java∩RE2 patterns spliced in (unique
+#: placeholder tokens — .format/f-strings would fight the regex braces).
+_PII_SCRUB_ORACLE = (
+    """
+WITH a AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   WHEN 1 THEN ' call 555-0199 or visit 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   ELSE '' END AS aug
+  FROM documents
+), s AS (
+  SELECT doc_id, aug,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+           '<<EMAIL>>', '<EMAIL>', 'g'),
+           '<<IP>>', '<IP>', 'g'),
+           '<<PHONE>>', '<PHONE>', 'g') AS scrubbed
+  FROM a
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '<<EMAIL>>')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '<<IP>>')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(aug, '<<PHONE>>')) AS INT) AS n_phones,
+       md5(scrubbed) AS scrubbed_md5,
+       CAST(length(scrubbed) AS INT) AS scrubbed_len
+FROM s
+"""
+    .replace("<<EMAIL>>", PII_EMAIL_RE)
+    .replace("<<IP>>", PII_IP_RE)
+    .replace("<<PHONE>>", PII_PHONE_RE)
+)
 
 ORACLES = {
     "frontier_schedule": """
@@ -1696,6 +1835,36 @@ SELECT user_id, first_view, first_click, first_purchase,
                 AND first_purchase > first_click, FALSE) AS stage_purchase
 FROM agg
 """,
+    "quality_filter": """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_wlen,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+         len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) * 1.0 / len(toks)
+           AS alpha_ratio,
+         CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'a') AS INT)
+           + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+           + CAST(list_contains(toks, 'to') AS INT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(mean_wlen, 4) AS mean_word_len,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       n_stop AS n_stopwords_present,
+       n_tokens >= 20 AND n_tokens <= 100000 AS len_ok,
+       mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS wlen_ok,
+       distinct_ratio >= 0.2 AS rep_ok,
+       alpha_ratio >= 0.8 AS alpha_ok,
+       n_stop >= 1 AS stop_ok,
+       n_tokens >= 20 AND n_tokens <= 100000
+         AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+         AND distinct_ratio >= 0.2 AND alpha_ratio >= 0.8 AND n_stop >= 1 AS keep
+FROM c
+""",
+    "pii_scrub": _PII_SCRUB_ORACLE,
 }
 
 

@@ -60,6 +60,15 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count — on a real
     cluster leave it unset and let AQE coalesce.
     """
+    if master is None:
+        # Under spark-submit the master arrives as the spark.master system
+        # property; respect it instead of forcing the sandbox default
+        # (otherwise `spark-submit --master yarn` would silently run local).
+        from pyspark import SparkConf
+
+        submitted = SparkConf()
+        if submitted.contains("spark.master"):
+            master = submitted.get("spark.master")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     n_cores = _parse_local_cores(master)
