@@ -1,0 +1,109 @@
+"""Physical-plan regressions: pin the scale claims the query docstrings
+make (shuffle counts, broadcast joins, filter pushdown, no driver-side
+merges, no Python in JVM-expressible paths). A plan that silently picks up
+an extra Exchange or falls off whole-stage codegen is a 100×-scale bug the
+value-level gate can't see — these tests fail it at sf0.001.
+
+Assertions are upper bounds where a future optimizer could legally do
+better, exact where the shape IS the contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from web_scraper_spark import analytics
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = analytics.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: single-scan document/text queries: zero shuffles, zero Python — pure
+#: whole-stage-codegen column expressions per their docstrings
+SCAN_ONLY = [
+    "lang_id",
+    "text_stats",
+    "token_counts",
+    "doc_fingerprint",
+    "quality_filter",
+    "pii_scrub",
+    "validators",
+]
+
+#: one-shuffle queries: the docstrings promise a single exchange (window
+#: or agg keyed once); a second exchange means the clustering reuse broke
+SINGLE_SHUFFLE = [
+    "frontier_schedule",
+    "top1_per_key",
+    "dedup_exact",
+    "sample_stratified",
+    "event_funnel",
+    "sessionize",
+    "rolling_window",
+    "asof_join",
+    "token_heavy_hitters",
+]
+
+
+@pytest.mark.parametrize("name", SCAN_ONLY)
+def test_scan_only_queries_have_no_shuffle_and_no_python(spark, name):
+    plan = _plan(spark, name)
+    assert plan.count("Exchange") == 0, f"{name} picked up a shuffle:\n{plan}"
+    assert "EvalPython" not in plan, f"{name} fell into a Python UDF:\n{plan}"
+
+
+@pytest.mark.parametrize("name", SCAN_ONLY)
+def test_scan_only_queries_prune_columns(spark, name):
+    # none of these touch `source`; a full-width scan means pruning broke
+    plan = _plan(spark, name)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("source" not in ln for ln in read), (
+        f"{name} reads unused columns:\n" + "\n".join(read)
+    )
+
+
+@pytest.mark.parametrize("name", SINGLE_SHUFFLE)
+def test_single_shuffle_queries(spark, name):
+    plan = _plan(spark, name)
+    assert plan.count("Exchange") <= 1, f"{name} shuffles more than once:\n{plan}"
+    assert "EvalPython" not in plan
+
+
+def test_ranked_microbatch_is_take_ordered(spark):
+    # top-N must plan as TakeOrderedAndProject (per-partition top-N +
+    # bounded merge), never a global sort
+    plan = _plan(spark, "ranked_microbatch")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0
+    assert "Sort " not in plan  # a global Sort node would shuffle everything
+
+
+def test_token_heavy_hitters_two_level_agg(spark):
+    # partial agg before the shuffle + TakeOrderedAndProject after: the
+    # exact-top-k plan that survives 10^9 distinct tokens
+    plan = _plan(spark, "token_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan, f"no map-side combine:\n{plan}"
+
+
+def test_dim_join_rollup_broadcasts_dims_and_pushes_date_filter(spark):
+    plan = _plan(spark, "dim_join_rollup")
+    assert plan.count("BroadcastHashJoin") >= 4, f"dims not broadcast:\n{plan}"
+    assert plan.count("SortMergeJoin") == 0, f"dim join shuffled:\n{plan}"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, (
+        f"date filter not pushed to the orders scan:\n{plan}"
+    )
+
+
+def test_no_cartesian_products_anywhere(spark):
+    bad = []
+    for name, fn in analytics.QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"unbounded join shapes in: {bad}"
