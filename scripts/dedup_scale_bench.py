@@ -8,12 +8,20 @@ synthesized deterministically (no external data) from sf0.1's 5,000 docs:
 
   * 10 near-dup replicas per source doc (replica k>0 swaps one token at a
     k-dependent position — replica↔original Jaccard ≈ 0.88, above the 0.8
-    threshold; replica↔replica ≈ 0.78, below), giving a known-shape
-    near-dup population of ~9 true pairs per source doc;
-  * 2% of source docs (all their replicas) get a fixed 12-token
+    threshold), giving a known-shape near-dup population per source doc;
+  * every token is salted with the SOURCE doc id (mod 97) — sf0.1's text
+    uses a ~30-word vocabulary, so unsalted 3-gram shingles collide across
+    unrelated docs with df in the hundreds and any df cap also deletes the
+    signal (measured: recall 0.0065 at max_df=50). Salting makes ordinary
+    shingle df ≈ the replica-group size (~11), which is what real corpora
+    look like: near-dup groups share shingles, strangers mostly don't;
+  * 30% of source docs (all their replicas) get a fixed UNSALTED 12-token
     boilerplate prefix — the hot-key pathology max_df exists for: each
-    boilerplate shingle has df≈1,000 and alone emits ~500k candidate
-    pairs into the self-join, pure noise for dedup.
+    boilerplate shingle has df ≈ 16,500 and alone emits ~136M candidate
+    pairs into the self-join (~1.5B rows total), pure noise for dedup.
+    The cost is quadratic in df: at 10% boilerplate (df ≈ 5,500, ~166M
+    candidate rows) this 32-thread host still absorbs the join in ~6 s —
+    the valve pays where hot keys get big, exactly the 100 TB regime.
 
 All synthesis is distributed column expressions (explode + transform);
 nothing iterates on the driver. Emits ONE JSON line:
@@ -42,7 +50,7 @@ sys.path.insert(0, REPO)
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = 10
-MAX_DF = 50  # replicas give real shingles df≈10; boilerplate df≈1,000
+MAX_DF = 50  # replicas give real shingles df≈11; boilerplate df≈16,500
 BOILER = "subscribe to our newsletter for the latest updates and exclusive offers today"
 
 
@@ -55,6 +63,9 @@ def synthesize(spark, out_dir: str) -> int:
     rep = d.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))))
     toks = F.split(F.col("text"), " ")
     pos = (F.col("rep") * 7) % F.size(toks)
+    # per-source-group salt: replicas of one source share tokens, strangers
+    # don't (see module docstring — unsalted, the tiny vocab poisons df)
+    salt = (F.col("doc_id") % 97).cast("string")
     mutated = F.concat_ws(
         " ",
         F.transform(
@@ -62,15 +73,20 @@ def synthesize(spark, out_dir: str) -> int:
             lambda t, i: F.when(
                 (F.col("rep") > 0) & (i == pos),
                 F.concat(F.lit("zz"), F.col("rep").cast("string")),
-            ).otherwise(t),
+            ).otherwise(F.concat(t, F.lit("_"), salt)),
         ),
     )
     with_boiler = F.when(
-        F.col("doc_id") % 50 == 0, F.concat(F.lit(BOILER + " "), mutated)
+        F.col("doc_id") % 10 < 3, F.concat(F.lit(BOILER + " "), mutated)
     ).otherwise(mutated)
+    # materialize the text BEFORE renumbering doc_id: an outer doc_id
+    # reference inside the transform() lambda resolves deferred, against
+    # the projection output — in one select with the renumber alias it
+    # reads the NEW id and every replica gets a different salt
+    rep = rep.withColumn("new_text", with_boiler)
     out = rep.select(
         (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
-        with_boiler.alias("text"),
+        F.col("new_text").alias("text"),
         "lang",
         "source",
     ).withColumn("n_chars", F.length("text").cast("long"))
