@@ -1427,6 +1427,73 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (the classic text-feature /
+    keyword-extraction pass; idf = ln(N/df) over the corpus).
+
+    Scale: three shuffles, each key-partitioned and necessary — tf by
+    (doc, token), df by token, final per-doc window — all map-side
+    combinable; the doc-count scalar joins as a broadcast literal, never
+    a driver constant baked at plan time. 10^9 docs is the same plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # df from tf (already one row per doc×token) — a plain count, no
+    # countDistinct expand
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over near-dup clusters: within each connected
+    component of the exact-Jaccard pair graph, KEEP the longest document
+    (ties → smallest doc_id) and drop the rest — the step a training-data
+    pipeline runs after clustering, choosing which duplicate survives.
+    Docs in no cluster keep themselves trivially and are omitted (the
+    interesting rows are the contested ones).
+
+    Scale: rides q_dedup_clusters' min-label propagation (rounds =
+    component diameter), then one broadcast-joinable doc-length lookup and
+    a per-cluster top-1 window on cluster keys."""
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    lens = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(lens, "doc_id")
+        .withColumn("pick", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "canonical_id",
+            "n_tokens",
+            (F.col("pick") == 1).alias("keep"),
+        )
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1473,6 +1540,8 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
+    "tfidf_topk": q_tfidf_topk,
+    "dedup_retention": q_dedup_retention,
 }
 
 _JACCARD_ORACLE = """
@@ -1865,7 +1934,38 @@ SELECT doc_id, n_tokens,
 FROM c
 """,
     "pii_scrub": _PII_SCRUB_ORACLE,
+    "tfidf_topk": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY doc_id, tok),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dft.df,
+         tf.tf * ln(n.n_docs * 1.0 / dft.df) AS tfidf
+  FROM tf JOIN dft USING (tok) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+       round(tfidf, 4) AS tfidf, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""",
 }
+
+# retention rides the clusters oracle verbatim (nested CTE) so the two can
+# never drift apart
+ORACLES["dedup_retention"] = f"""
+WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS ({ORACLES["dedup_clusters"]})
+SELECT c.doc_id, c.canonical_id, CAST(l.n_tokens AS INT) AS n_tokens,
+       row_number() OVER (PARTITION BY c.canonical_id
+                          ORDER BY l.n_tokens DESC, c.doc_id) = 1 AS keep
+FROM c JOIN lens l ON l.doc_id = c.doc_id
+"""
 
 
 def get_oracles() -> dict[str, str]:
