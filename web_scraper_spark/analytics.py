@@ -1427,6 +1427,81 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate PAIRS by perceptual hash: decode the binary
+    payload (one mapInPandas pass — the multimodal plumbing), split the
+    64-bit phash into 4×16-bit bands, self-join on (band_id, band_val),
+    verify exact hamming ≤ 3 on candidates only. The image twin of
+    q_dedup_simhash_pairs; the fixture plants one perturbed variant per
+    original (datagen.gen_neardup_payload_pdf) whose roundtripped phash
+    sits within the band pigeonhole guarantee (hamming ≤ 3 ⇒ ≥1 clean band
+    of 4), so the banded plan provably finds every ground-truth pair.
+
+    Scale shape: candidates per band bucket, never all-pairs; at 10^10
+    images a 16-bit band holds n/65536 ids and the join stays bucketed.
+    Oracle: quadratic hamming over independently-computed phashes (VALUES
+    table from datagen params, no Spark)."""
+    from . import datagen, schemas
+    from .functions.multimodal import image_features
+
+    payload = spark.createDataFrame(
+        datagen.gen_neardup_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
+    )
+    # recompute phash from bytes through the engine's decode path — the
+    # payload's phash column is the oracle's side, not this one's
+    feats = image_features(payload).select("image_id", "phash")
+    bands = feats.select(
+        "image_id",
+        *[
+            F.shiftrightunsigned(F.col("phash"), 16 * (3 - j))
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("int")
+            .alias(f"band{j}")
+            for j in range(4)
+        ],
+    ).persist()
+    _PERSISTED_SHINGLES.append(bands)
+    sig = bands.select(
+        "image_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"), F.col(f"band{j}").alias("band_val")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("image_id", F.col("s.band_id").alias("band_id"), F.col("s.band_val").alias("band_val"))
+    sa = sig.select(F.col("image_id").alias("id_a"), "band_id", "band_val")
+    sb = sig.select(F.col("image_id").alias("id_b"), "band_id", "band_val")
+    cand = (
+        sa.join(sb, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("image_id").alias("id_a"),
+        *[F.col(f"band{j}").alias(f"a{j}") for j in range(4)],
+    )
+    bb = bands.select(
+        F.col("image_id").alias("id_b"),
+        *[F.col(f"band{j}").alias(f"b{j}") for j in range(4)],
+    )
+    ham = None
+    for j in range(4):
+        term = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(ba, "id_a")
+        .join(bb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (the classic text-feature /
     keyword-extraction pass; idf = ln(N/df) over the corpus).
@@ -1542,6 +1617,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "tfidf_topk": q_tfidf_topk,
     "dedup_retention": q_dedup_retention,
+    "image_phash_pairs": q_image_phash_pairs,
 }
 
 _JACCARD_ORACLE = """

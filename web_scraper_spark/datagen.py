@@ -141,6 +141,51 @@ def gen_payload_pdf(
     return pd.DataFrame(rows)
 
 
+def perturb_image(img: np.ndarray, i: int, patch: int = 6, amp: int = 2) -> np.ndarray:
+    """Deterministic near-duplicate variant: +amp on one patch×patch block
+    at a seeded position. Tuned (patch=6, amp=2) so the codec-roundtripped
+    phash hamming distance to the original stays ≤ 3 for every fixture
+    image — inside the 4×16-band pigeonhole recall guarantee the banded
+    pair join relies on (measured max 3 over the 120-image fixture; 8×8
+    at +3 leaks to 9)."""
+    rng = np.random.default_rng(1000 + i)
+    h, w = img.shape[:2]
+    y = int(rng.integers(0, max(h - patch, 1)))
+    x = int(rng.integers(0, max(w - patch, 1)))
+    v = img.astype(np.int16).copy()
+    v[y : y + patch, x : x + patch, :] += amp
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def gen_neardup_payload_pdf(
+    n: int, seed: int = DEFAULT_SEED, small: bool = True
+) -> pd.DataFrame:
+    """Payload of n originals + one perturbed near-dup variant per original
+    (image_id suffix ``v``) — the planted population for the perceptual-
+    hash near-dup pair query and its ground-truth oracle."""
+    from .functions.imaging import decode_image
+
+    rows = []
+    for i in range(n):
+        w, h = dims_for(i, seed, small)
+        fmt = fmt_for(i, seed)
+        img = make_image(i, w, h, seed)
+        for suffix, im in (("", img), ("v", perturb_image(img, i))):
+            blob = encode_image(im, fmt)
+            rows.append(
+                {
+                    "image_id": image_id_for(i) + suffix,
+                    "bytes": blob,
+                    "w": w,
+                    "h": h,
+                    "fmt": fmt,
+                    "caption": caption_for(i, seed),
+                    "phash": phash64(decode_image(blob, fmt)),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def gen_site_graph_pdf(
     n_pages: int, videos_per_page: int = 24, seed: int = DEFAULT_SEED
 ) -> pd.DataFrame:
