@@ -68,7 +68,15 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "image_decode_stats",
     "image_features",
+    "image_phash_pairs",
     "html_extraction",
+    "sessionize",
+    "asof_join",
+    "rolling_window",
+    "event_funnel",
+    "quality_filter",
+    "pii_scrub",
+    "tfidf_topk",
 ]
 
 

@@ -165,3 +165,116 @@ def test_first_seen_dedup_ttl_reopens_key(spark, tmp_path):
     out4 = _run_dedup(spark, log, ck, out, ttl_minutes=ttl)
     assert (7, "http://r.test/7?recrawl") in out4
     assert len(out4) == 3
+
+
+# ---------------------------------------------------------------- sessions
+
+
+EVENT_SCHEMA = "ts timestamp, user_id long, value double"
+
+
+def _ev(minute, user, value=1.0):
+    return (T0 + datetime.timedelta(minutes=minute), user, value)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _read_events_stream(spark, path):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 10)
+        .parquet(path)
+    )
+
+
+def test_sessionized_stats_gap_semantics(spark, tmp_path):
+    """user 1: events at 0/10/55 min (gap 45 > 30 → two sessions);
+    user 2: one event. Session end = last event + gap."""
+    from web_scraper_spark.streaming.metrics import sessionized_stats
+
+    log = str(tmp_path / "ev")
+    _write_events(
+        spark, log, [_ev(0, 1, 2.0), _ev(10, 1, 3.0), _ev(55, 1, 5.0), _ev(7, 2)]
+    )
+    out = run_available_now(
+        sessionized_stats(_read_events_stream(spark, log)),
+        "sess_t1",
+        str(tmp_path / "ck"),
+    ).collect()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in out
+    }
+    m = datetime.timedelta(minutes=1)
+    assert got == {
+        (1, T0, T0 + 40 * m, 2, 5.0),
+        (1, T0 + 55 * m, T0 + 85 * m, 1, 5.0),
+        (2, T0 + 7 * m, T0 + 37 * m, 1, 1.0),
+    }
+
+
+def test_sessionized_stats_restart_merges_new_files(spark, tmp_path):
+    """A later file inside an open session window merges into the same
+    session across a checkpointed restart (complete-mode recompute)."""
+    from web_scraper_spark.streaming.metrics import sessionized_stats
+
+    log = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    _write_events(spark, log, [_ev(0, 1), _ev(10, 1)])
+    out1 = run_available_now(
+        sessionized_stats(_read_events_stream(spark, log)), "sess_t2a", ck
+    ).collect()
+    assert [(r["n_events"]) for r in out1] == [2]
+    _write_events(spark, log, [_ev(20, 1), _ev(90, 1)])
+    out2 = run_available_now(
+        sessionized_stats(_read_events_stream(spark, log)), "sess_t2b", ck
+    ).collect()
+    got = sorted((r["n_events"], r["session_start"]) for r in out2)
+    m = datetime.timedelta(minutes=1)
+    assert got == [(1, T0 + 90 * m), (3, T0)]
+
+
+def test_sessionized_stats_matches_batch_twin_on_events_table(spark):
+    """Session segmentation (count + membership) agrees with the batch
+    q_sessionize on the sf0.001 events table wherever no gap sits exactly
+    on the 30-min boundary (none do in the fixture)."""
+    from web_scraper_spark import analytics
+    from web_scraper_spark.streaming.metrics import sessionized_stats
+
+    import tempfile
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/ev"
+        ev.write.parquet(path)
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(path)
+        )
+        out = run_available_now(
+            sessionized_stats(stream), "sess_t3", td + "/ck"
+        )
+        stream_sessions = {
+            (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 4))
+            for r in out.collect()
+        }
+    batch = analytics.q_sessionize(spark, sf)
+    batch_sessions = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["n_events"],
+            round(r["sum_value"], 4),
+        )
+        for r in batch.collect()
+    }
+    assert stream_sessions == batch_sessions

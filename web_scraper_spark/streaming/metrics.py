@@ -88,6 +88,39 @@ def windowed_error_breakdown(
     )
 
 
+def sessionized_stats(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap sessionization as a stream via the built-in ``session_window``:
+    events within ``gap`` of each other merge into one session per user;
+    the watermark closes sessions and bounds state. The streaming twin of
+    ``analytics.q_sessionize`` (same 30-min gap); two deliberate semantic
+    differences: ``session_end`` here is last-event + gap (the window's
+    close, Spark's definition) where the batch twin reports max event ts,
+    and an event separated by EXACTLY the gap starts a new session here
+    but extends the session there (>= vs > on the boundary).
+
+    Scale: state = currently-open sessions only (closed ones emit and
+    drop at the watermark); a skewed user bounds one partition's state,
+    never the plan. Needs an instant-typed ts (cast TIMESTAMP_NTZ before
+    calling — watermarks track real time)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(result: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
     """Run a streaming aggregation over everything currently in the source
     (Trigger.AvailableNow), block until done, return the materialized
