@@ -75,6 +75,26 @@ N_FRONTIER_BUCKETS = 64  # frontier partitioning: bucket = pmod(priority, 64)
 HOT_HOST_SHARE = 0.10  # batch share above which a host gets salted
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _release_new_persistent_rdds(spark: SparkSession, before: set[int]) -> None:
+    """Unpersist every RDD that became persistent after ``before`` was
+    snapshotted (non-blocking). See CrawlEngine.run_batch for why explicit
+    release beats waiting on the ContextCleaner."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() not in before:
+            t._2().unpersist(False)
+
+
 def _bucket(col: F.Column) -> F.Column:
     return F.pmod(col, F.lit(N_FRONTIER_BUCKETS)).cast("int")
 
@@ -309,7 +329,26 @@ class CrawlEngine:
 
     def run_batch(self, spark: SparkSession) -> dict | None:
         """Run one micro-batch. Returns the batch's metric dict, or None
-        when the crawl is complete."""
+        when the crawl is complete.
+
+        Wraps the batch in explicit checkpoint-block release:
+        ``localCheckpoint`` pins its partitions in the block manager until
+        the driver's ContextCleaner happens to GC the RDD handle — on a
+        large driver heap that lags minutes-to-never, so per-batch blocks
+        accumulate without bound (scripts/soak.py measured a ~16 GB heap
+        and +0.3 s/100-batches p50 creep by batch 800 of a toy crawl).
+        The engine is the single writer while a batch runs, so every
+        persistent RDD that APPEARS during the batch is the batch's own
+        checkpoint — safe to unpersist once the commits are durable.
+        Pre-existing persisted RDDs (a user's cached analytics tables) are
+        untouched."""
+        before = _persistent_rdd_ids(spark)
+        try:
+            return self._run_batch(spark)
+        finally:
+            _release_new_persistent_rdds(spark, before)
+
+    def _run_batch(self, spark: SparkSession) -> dict | None:
         ck = self.checkpoints.latest()
         assert ck is not None, "call init() first"
         v = ck["versions"]

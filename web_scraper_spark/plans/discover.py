@@ -368,9 +368,11 @@ class DiscoveringCrawlEngine(CrawlEngine):
 
     # ------------------------------------------------------------ batch
 
-    def run_batch(self, spark: SparkSession) -> dict | None:
+    def _run_batch(self, spark: SparkSession) -> dict | None:
+        # overrides the inner hook, not run_batch itself, so the base
+        # class's checkpoint-block release wraps the discovery step too
         discovered = self._discover_step(spark)
-        stats = super().run_batch(spark)
+        stats = super()._run_batch(spark)
         if stats is None and discovered:
             return {"discovery_only": True, "scheduled": 0}
         return stats

@@ -35,6 +35,11 @@ _DEFAULTS = {
     # video_processor.py:437).
     "spark.network.timeout": "600s",
     "spark.executor.heartbeatInterval": "60s",
+    # Reclaim dropped checkpoint/shuffle blocks promptly: the ContextCleaner
+    # only acts after a driver GC collects the RDD handle, and a mostly-idle
+    # 48g heap can go a long time between full GCs (the engine also releases
+    # its own batch checkpoints explicitly — plans/crawl.py run_batch).
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 #: cluster-only stall handling: speculative re-launch of straggler tasks
