@@ -1569,6 +1569,75 @@ def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that contain an
+    eval-set document's content (the GPT-3/C4-style n-gram-overlap scrub a
+    training corpus runs before any model sees it).
+
+    Eval set: the deterministic 5% slice ``doc_id % 20 == 7`` (stand-in
+    for a real benchmark table — swap the filter for a join against it).
+    A training doc is contaminated when it covers ≥ 50% of a benchmark
+    doc's distinct 3-gram shingles — containment (one-sided overlap
+    coefficient), not Jaccard, because a short benchmark doc embedded in a
+    much longer training doc must still trip the flag.
+
+    Scale: the corpus is shingled ONCE (_shingle_df, persisted) and the
+    corpus side is never shuffled — the bench shingles and bench sizes are
+    broadcast (real eval sets are 10^3-10^5 docs, orders smaller than the
+    corpus), so the plan is broadcast-hash-join + partial agg on
+    (doc_id, bench_id). If the eval side ever outgrows broadcast, fall
+    back to the max_df-capped shuffle join jaccard_pairs uses."""
+    sh = _shingle_df(_t(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % 20 == 7
+    bench = sh.filter(is_bench)
+    train = sh.filter(~is_bench)
+    bsz = bench.groupBy(F.col("doc_id").alias("bench_id")).agg(
+        F.count("*").alias("bench_sz")
+    )
+    common = (
+        train.join(
+            F.broadcast(bench.select(F.col("doc_id").alias("bench_id"), "shingle")),
+            "shingle",
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    containment = F.col("n_overlap") / F.col("bench_sz")
+    return (
+        common.join(F.broadcast(bsz), "bench_id")
+        .filter(containment >= 0.5)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_overlap",
+            "bench_sz",
+            F.round(containment, 4).alias("containment"),
+        )
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted md5 — the
+    shuffle-free, rerun-stable dataset split every training pipeline needs.
+
+    The split depends only on doc_id, so re-runs, backfills, and corpus
+    growth never move an existing doc across splits (appending data can't
+    leak yesterday's val docs into tomorrow's train). Plan: a narrow
+    projection — zero shuffles, zero UDFs, whole-stage-codegen'd string
+    compare. The first 8 md5 hex chars are uniform on [0, 16^8), compared
+    lexicographically (identical byte-wise semantics in Spark and DuckDB):
+    < 'cccccccc' ≈ 0.8, < 'e6666666' ≈ 0.9. The salt prefix decorrelates
+    this split from every other md5(doc_id) use (sampling, ordering)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(h < "cccccccc", "train").when(h < "e6666666", "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1618,6 +1687,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "dedup_retention": q_dedup_retention,
     "image_phash_pairs": q_image_phash_pairs,
+    "decontaminate": q_decontaminate,
+    "dataset_split": q_dataset_split,
 }
 
 _JACCARD_ORACLE = """
@@ -2041,6 +2112,37 @@ SELECT c.doc_id, c.canonical_id, CAST(l.n_tokens AS INT) AS n_tokens,
        row_number() OVER (PARTITION BY c.canonical_id
                           ORDER BY l.n_tokens DESC, c.doc_id) = 1 AS keep
 FROM c JOIN lens l ON l.doc_id = c.doc_id
+"""
+
+
+ORACLES["decontaminate"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)
+),
+bench AS (SELECT * FROM sh WHERE doc_id % 20 = 7),
+train AS (SELECT * FROM sh WHERE doc_id % 20 <> 7),
+bsizes AS (SELECT doc_id AS bench_id, count(*) AS bench_sz FROM bench GROUP BY 1),
+common AS (
+  SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_overlap, bench_sz,
+       round(n_overlap * 1.0 / bench_sz, 4) AS containment
+FROM common JOIN bsizes USING (bench_id)
+WHERE n_overlap * 1.0 / bench_sz >= 0.5
+"""
+
+ORACLES["dataset_split"] = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+              THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """
 
 
