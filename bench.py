@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "quality_filter",
     "pii_scrub",
     "tfidf_topk",
+    "decontaminate",
+    "dataset_split",
 ]
 
 
