@@ -112,3 +112,48 @@ def test_jaccard_max_df_keeps_near_dup_recall(spark):
     # (boilerplate) keys must not lose them on this corpus
     assert exact <= capped
     analytics.release_caches()
+
+
+def test_dataset_split_append_stable(spark, tmp_path):
+    """The salted-md5 split must depend only on doc_id: splitting a PREFIX
+    of the corpus assigns every doc the same bucket as splitting the whole
+    corpus (append-stability — growing the corpus never moves an existing
+    doc across train/val/test), and the three buckets partition the corpus
+    at roughly 80/10/10."""
+    from pyspark.sql import functions as F
+
+    full = {
+        r["doc_id"]: r["split"]
+        for r in analytics.q_dataset_split(spark, SF_DIR).collect()
+    }
+    n = len(full)
+    assert set(full.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 0.7 * n <= n_train <= 0.9 * n  # binomial around 0.8·n
+    # replay the split over only the first half of the corpus (a smaller
+    # "yesterday" snapshot of the same table): assignments must agree
+    half_ids = sorted(full)[: n // 2]
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id").isin(half_ids))
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    )
+    half = {
+        r["doc_id"]: r["split"]
+        for r in analytics.q_dataset_split(spark, str(tmp_path)).collect()
+    }
+    assert half == {k: full[k] for k in half_ids}
+
+
+def test_decontaminate_flags_planted_near_dups(spark):
+    """Every flagged (doc, bench) pair must be a genuine high-overlap pair:
+    containment is within (0.5, 1.0], n_overlap ≤ bench_sz, and no flagged
+    doc is itself in the eval slice."""
+    rows = analytics.q_decontaminate(spark, SF_DIR).collect()
+    assert rows  # fixture's planted near-dups include eval-slice docs
+    for r in rows:
+        assert r["bench_id"] % 20 == 7
+        assert r["doc_id"] % 20 != 7
+        assert 0 < r["n_overlap"] <= r["bench_sz"]
+        assert 0.5 <= r["containment"] <= 1.0
+    analytics.release_caches()
