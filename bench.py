@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "image_decode_stats",
     "image_features",
     "image_phash_pairs",
+    "image_dedup_retention",
     "html_extraction",
     "sessionize",
     "asof_join",

@@ -1502,6 +1502,53 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over perceptual-hash near-dup clusters: connected
+    components of the banded-phash pair graph, then within each cluster
+    KEEP the highest-contrast member (sharpness proxy; ties → smallest
+    image_id) — the image twin of q_dedup_retention and the LAION-style
+    "which duplicate survives" pass an image-corpus pipeline runs after
+    pairwise dedup. Only contested images (in ≥1 pair) are returned;
+    singletons keep themselves trivially.
+
+    Scale: rides q_image_phash_pairs' banded candidates (never all-pairs)
+    and connected_components' min-label propagation (rounds = component
+    diameter — 1 for this planted original+variant population, 2-3 for
+    real quasi-clique dup groups), then one node-keyed feature join and a
+    per-cluster top-1 window on cluster keys. The contrast lookup comes
+    from the SAME single mapInPandas decode pass image_features uses.
+
+    Oracle: union-find over the quadratic-hamming ground-truth pairs +
+    per-image contrast recomputed via the driver-side codec path, no
+    Spark (groundtruth.expected_image_dedup_retention)."""
+    from . import datagen, schemas
+    from .functions.multimodal import image_features
+    from .operators.clustering import connected_components
+
+    pairs = q_image_phash_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("doc_id").alias("image_id"),
+        F.col("canonical_id").alias("cluster_id"),
+    )
+    payload = spark.createDataFrame(
+        datagen.gen_neardup_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
+    )
+    feats = image_features(payload).select("image_id", "contrast")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("contrast").desc(), F.col("image_id")
+    )
+    return (
+        comp.join(feats, "image_id")
+        .withColumn("pick", F.row_number().over(w))
+        .select(
+            "image_id",
+            "cluster_id",
+            "contrast",
+            (F.col("pick") == 1).alias("keep"),
+        )
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (the classic text-feature /
     keyword-extraction pass; idf = ln(N/df) over the corpus).
@@ -1687,6 +1734,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "dedup_retention": q_dedup_retention,
     "image_phash_pairs": q_image_phash_pairs,
+    "image_dedup_retention": q_image_dedup_retention,
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,
 }
