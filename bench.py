@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "image_features",
     "image_phash_pairs",
     "image_dedup_retention",
+    "image_aspect_buckets",
+    "image_quality_gate",
     "html_extraction",
     "sessionize",
     "asof_join",

@@ -1549,6 +1549,92 @@ def q_image_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucket assignment for image-model training (the
+    SDXL-style bucketed-batching pass: group images whose w:h is nearest
+    each target ratio so a training shard never mixes shapes). Decode via
+    the one-pass mapInPandas feature UDF, then assign each image to the
+    argmin-log-distance bucket of multimodal.ASPECT_BUCKETS — computed
+    exactly in integer cross-multiplication (see the constant's docstring),
+    ties → first bucket in declaration order.
+
+    Scale: decode is the same shuffle-free map stage image_features uses;
+    bucketing is pure JVM column arithmetic (20 integer comparisons), so
+    the whole plan is one scan + one projection at any corpus size.
+
+    Oracle: VALUES ground truth — the same argmin evaluated driver-side
+    with exact Fractions over the independently-decoded dims
+    (groundtruth.expected_image_aspect_buckets)."""
+    from . import datagen, schemas
+    from .functions.multimodal import ASPECT_BUCKETS, image_features
+
+    payload = spark.createDataFrame(
+        datagen.gen_varied_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
+    )
+    feats = image_features(payload).select("image_id", "w", "h")
+    a = [
+        F.greatest(F.col("w") * q, F.col("h") * p).cast("long")
+        for _, p, q in ASPECT_BUCKETS
+    ]
+    b = [
+        F.least(F.col("w") * q, F.col("h") * p).cast("long")
+        for _, p, q in ASPECT_BUCKETS
+    ]
+    bucket = None
+    for i, (name, _, _) in enumerate(ASPECT_BUCKETS):
+        cond = None
+        for j in range(len(ASPECT_BUCKETS)):
+            if j == i:
+                continue
+            c = a[i] * b[j] <= a[j] * b[i]
+            cond = c if cond is None else cond & c
+        bucket = (
+            F.when(cond, name) if bucket is None else bucket.when(cond, name)
+        )
+    return feats.select("image_id", "w", "h", bucket.alias("bucket"))
+
+
+def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality gate (the image twin of q_quality_filter): decode →
+    too_dark / too_flat / too_small flags + keep verdict, the filter an
+    image-corpus pipeline runs before captioning or training. The varied
+    fixture plants a dark subset (pixels // 4 at i % 5 == 0) and a tiny
+    frame (32×24 in the dims cycle) so every flag fires on real rows.
+
+    Scale: one shuffle-free decode pass + column comparisons; thresholds
+    evaluate on the rounded features the decode pass emits (see
+    multimodal.IMG_GATE_* docstring), so the oracle is exact.
+
+    Oracle: VALUES ground truth via the driver-side codec pass
+    (groundtruth.expected_image_quality_gate)."""
+    from . import datagen, schemas
+    from .functions.multimodal import (
+        IMG_GATE_MIN_BRIGHTNESS,
+        IMG_GATE_MIN_CONTRAST,
+        IMG_GATE_MIN_PIXELS,
+        image_features,
+    )
+
+    payload = spark.createDataFrame(
+        datagen.gen_varied_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
+    )
+    f = image_features(payload)
+    too_dark = F.col("brightness") < IMG_GATE_MIN_BRIGHTNESS
+    too_flat = F.col("contrast") < IMG_GATE_MIN_CONTRAST
+    too_small = (F.col("w") * F.col("h")) < IMG_GATE_MIN_PIXELS
+    return f.select(
+        "image_id",
+        "w",
+        "h",
+        "brightness",
+        "contrast",
+        too_dark.alias("too_dark"),
+        too_flat.alias("too_flat"),
+        too_small.alias("too_small"),
+        (F.col("ok") & ~too_dark & ~too_flat & ~too_small).alias("keep"),
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (the classic text-feature /
     keyword-extraction pass; idf = ln(N/df) over the corpus).
@@ -1735,6 +1821,8 @@ QUERIES = {
     "dedup_retention": q_dedup_retention,
     "image_phash_pairs": q_image_phash_pairs,
     "image_dedup_retention": q_image_dedup_retention,
+    "image_aspect_buckets": q_image_aspect_buckets,
+    "image_quality_gate": q_image_quality_gate,
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,
 }

@@ -157,6 +157,52 @@ def perturb_image(img: np.ndarray, i: int, patch: int = 6, amp: int = 2) -> np.n
     return np.clip(v, 0, 255).astype(np.uint8)
 
 
+#: (w, h) cycle for the varied-payload fixture: exact matches for each of
+#: the five aspect buckets (square, 4:3, 16:9, 3:4, 9:16), two in-between
+#: ratios (8:5 and 5:8 — nearest bucket is 16:9 / 9:16 by log distance),
+#: and one deliberately tiny frame (32×24) for the min-pixel gate.
+VARIED_DIMS = (
+    (64, 64),
+    (64, 48),
+    (96, 54),
+    (48, 64),
+    (36, 64),
+    (80, 50),
+    (50, 80),
+    (32, 24),
+)
+
+
+def gen_varied_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Payload with deliberately varied aspect ratios (VARIED_DIMS cycle)
+    and a planted dark subset (``i % 5 == 0`` → pixel values ``// 4``, so
+    brightness ≈ 31 and contrast collapses) — the fixture population for
+    the aspect-ratio bucketing and image-quality-gate queries and their
+    driver-side ground truths. Same schema as gen_payload_pdf."""
+    from .functions.imaging import decode_image
+
+    rows = []
+    for i in range(n):
+        w, h = VARIED_DIMS[i % len(VARIED_DIMS)]
+        fmt = fmt_for(i, seed)
+        img = make_image(i, w, h, seed)
+        if i % 5 == 0:
+            img = (img // 4).astype(np.uint8)
+        blob = encode_image(img, fmt)
+        rows.append(
+            {
+                "image_id": image_id_for(i),
+                "bytes": blob,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption_for(i, seed),
+                "phash": phash64(decode_image(blob, fmt)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def gen_neardup_payload_pdf(
     n: int, seed: int = DEFAULT_SEED, small: bool = True
 ) -> pd.DataFrame:

@@ -43,6 +43,27 @@ def resize_mean_pool(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+#: Aspect-ratio buckets for training-shard assignment: (name, p, q) with
+#: target ratio w:h = p:q. Assignment = argmin over buckets of
+#: |ln(w/h) − ln(p/q)|, evaluated EXACTLY via integer cross-multiplication
+#: (f_i = max(w·q_i, h·p_i) / min(w·q_i, h·p_i); f_i ≤ f_j ⟺
+#: a_i·b_j ≤ a_j·b_i) — no float log on either the Spark or the oracle
+#: side, so engine libm differences can never flip a bucket.
+ASPECT_BUCKETS = (
+    ("square", 1, 1),
+    ("landscape_4_3", 4, 3),
+    ("landscape_16_9", 16, 9),
+    ("portrait_3_4", 3, 4),
+    ("portrait_9_16", 9, 16),
+)
+
+#: Image quality-gate thresholds (the image twin of the Gopher/C4-style
+#: text gate): flags evaluate on the ROUNDED (4 dp) brightness/contrast
+#: the decode pass emits, so the oracle compares identical values.
+IMG_GATE_MIN_PIXELS = 2048
+IMG_GATE_MIN_BRIGHTNESS = 40.0
+IMG_GATE_MIN_CONTRAST = 35.0
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
