@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "image_dedup_retention",
     "image_aspect_buckets",
     "image_quality_gate",
+    "image_shard_pack",
+    "audio_features",
+    "video_frame_sample",
+    "video_scene_cuts",
     "html_extraction",
     "sessionize",
     "asof_join",

@@ -11,11 +11,11 @@ from pyspark.sql import functions as F
 from web_scraper_spark import datagen, schemas
 from web_scraper_spark.functions.imaging import decode_image
 from web_scraper_spark.functions.multimodal import (
-    decode_audio_batch,
+    audio_features,
     image_features,
     reencode_thumbnails,
     resize_mean_pool,
-    sample_video_frames_batch,
+    video_frames,
 )
 
 
@@ -64,11 +64,114 @@ def test_reencode_thumbnails_roundtrip(spark):
         assert img.shape == (12, 16, 3)
 
 
-def test_audio_video_stubs_raise():
+# ------------------------------------------------------------ audio / video
+
+
+def test_wav_codec_roundtrips_losslessly():
+    from web_scraper_spark.functions.audio import decode_wav, encode_wav
+
+    s = datagen.audio_samples_for(3)
+    sr, out = decode_wav(encode_wav(s, datagen.AUDIO_SR))
+    assert sr == datagen.AUDIO_SR
+    np.testing.assert_array_equal(s, out)
+
+
+def test_wav_decoder_rejects_non_pcm16_mono():
+    """The stub boundary: stereo/float layouts raise, they don't garble."""
+    import struct
+
+    from web_scraper_spark.functions.audio import decode_wav, encode_wav
+
+    blob = bytearray(encode_wav(datagen.audio_samples_for(1), 8000))
+    # flip the channel count to stereo (RIFF 12 + chunk header 8 + codec 2)
+    struct.pack_into("<H", blob, 22, 2)
     with pytest.raises(NotImplementedError):
-        decode_audio_batch(pd.Series([b"x"]), pd.Series(["wav"]))
-    with pytest.raises(NotImplementedError):
-        sample_video_frames_batch(pd.Series([b"x"]))
+        decode_wav(bytes(blob))
+
+
+def test_compressed_audio_and_real_video_fail_soft(spark):
+    """Non-decodable formats (mp3 / real mp4) classify, never crash: the
+    batch UDFs emit ok=False / error rows (soundfile/pyav swap-in notes
+    live in the raising codecs)."""
+    audio = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": "a", "bytes": b"ID3" + bytes(200), "fmt": "mp3", "caption": ""},
+            ]
+        ),
+        schema=schemas.AUDIO_PAYLOAD_SCHEMA,
+    )
+    rows = audio_features(audio).collect()
+    assert len(rows) == 1 and not rows[0]["ok"] and rows[0]["error"]
+
+    mp4ish = bytes(4) + b"ftyp" + bytes(100)
+    video = spark.createDataFrame(
+        pd.DataFrame([{"media_id": "v", "bytes": mp4ish, "caption": ""}]),
+        schema=schemas.VIDEO_PAYLOAD_SCHEMA,
+    )
+    vrows = video_frames(video).collect()
+    assert len(vrows) == 1 and vrows[0]["frame_idx"] is None and vrows[0]["error"]
+
+
+def test_video_container_roundtrip_and_bounded_decode():
+    from web_scraper_spark.functions.video import (
+        decode_frames,
+        encode_video,
+        video_meta,
+    )
+
+    frames = datagen.video_frames_for(0)  # 12 frames, has a planted cut
+    blob = encode_video(frames, datagen.VIDEO_FPS)
+    assert video_meta(blob) == (12, datagen.VIDEO_W, datagen.VIDEO_H, datagen.VIDEO_FPS)
+    got = decode_frames(blob, [0, 7, 11])
+    np.testing.assert_array_equal(got[0], frames[0])
+    np.testing.assert_array_equal(got[1], frames[7])
+    np.testing.assert_array_equal(got[2], frames[11])
+
+
+def test_planted_scene_cuts_detected(spark):
+    """Every 3rd fixture clip has a mid-clip scene change; the sampled-
+    frame cut flag must find exactly those clips (ramp-only clips produce
+    no false cuts — the brightness ramp is phash-stable by design)."""
+    payload = spark.createDataFrame(
+        datagen.gen_video_payload_pdf(12), schema=schemas.VIDEO_PAYLOAD_SCHEMA
+    )
+    cuts = {
+        r["media_id"]: r["n_cuts"]
+        for r in video_frames(payload, every_n=4)
+        .groupBy("media_id")
+        .agg(F.count_if(F.col("is_cut")).alias("n_cuts"))
+        .collect()
+    }
+    for i in range(12):
+        mid = datagen.media_id_for(i)
+        if i % 3 == 0:
+            assert cuts[mid] == 1, f"clip {i}: planted cut missed"
+        else:
+            assert cuts[mid] == 0, f"clip {i}: false cut"
+
+
+def test_mixed_batch_preserves_hash_precision(spark):
+    """Regression: a batch mixing ok and error rows must NOT round int64
+    hashes — pandas infers float64 for int+None columns (53-bit mantissa),
+    silently corrupting phash/ahash low bits unless the UDFs build their
+    output through typed_frame."""
+    pdf = datagen.gen_payload_pdf(4)
+    pdf.loc[1, "bytes"] = b"corrupt"
+    payload = spark.createDataFrame(pdf, schema=schemas.PAYLOAD_SCHEMA)
+    feats = {r["image_id"]: r for r in image_features(payload).coalesce(1).collect()}
+    for i in (0, 2, 3):
+        iid = datagen.image_id_for(i)
+        assert feats[iid]["phash"] == int(pdf.loc[i, "phash"]), "phash rounded"
+
+    apdf = datagen.gen_audio_payload_pdf(12)  # row 0 and 11 are mp3
+    audio = spark.createDataFrame(apdf, schema=schemas.AUDIO_PAYLOAD_SCHEMA)
+    from web_scraper_spark.functions.audio import ahash64
+
+    got = {r["media_id"]: r for r in audio_features(audio).coalesce(1).collect()}
+    for i in range(1, 11):
+        expect = ahash64(datagen.audio_samples_for(i))
+        assert got[datagen.media_id_for(i)]["ahash"] == expect, "ahash rounded"
 
 
 def test_lsh_finds_planted_near_duplicates(spark):

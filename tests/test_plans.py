@@ -100,6 +100,19 @@ def test_dim_join_rollup_broadcasts_dims_and_pushes_date_filter(spark):
     )
 
 
+def test_image_shard_pack_window_is_block_partitioned(spark):
+    # the two-level offset plan: the running-sum window must be keyed by
+    # (bucket, block) — an empty partition spec would be the 5-reducer
+    # per-bucket global window the docstring exists to avoid — and the
+    # driver-cumulated offsets join back as a broadcast, never a shuffle
+    plan = _plan(spark, "image_shard_pack")
+    assert "windowspecdefinition(bucket" in plan, (
+        f"window lost its partition keys:\n{plan}"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"offsets join shuffled:\n{plan}"
+
+
 #: bounded-by-construction exceptions: tfidf_topk cross-joins a ONE-ROW
 #: broadcast aggregate (the corpus doc count) — a scalar attach, not a
 #: cartesian blow-up

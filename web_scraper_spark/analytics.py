@@ -1566,31 +1566,13 @@ def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Fractions over the independently-decoded dims
     (groundtruth.expected_image_aspect_buckets)."""
     from . import datagen, schemas
-    from .functions.multimodal import ASPECT_BUCKETS, image_features
+    from .functions.multimodal import aspect_bucket_col, image_features
 
     payload = spark.createDataFrame(
         datagen.gen_varied_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
     )
     feats = image_features(payload).select("image_id", "w", "h")
-    a = [
-        F.greatest(F.col("w") * q, F.col("h") * p).cast("long")
-        for _, p, q in ASPECT_BUCKETS
-    ]
-    b = [
-        F.least(F.col("w") * q, F.col("h") * p).cast("long")
-        for _, p, q in ASPECT_BUCKETS
-    ]
-    bucket = None
-    for i, (name, _, _) in enumerate(ASPECT_BUCKETS):
-        cond = None
-        for j in range(len(ASPECT_BUCKETS)):
-            if j == i:
-                continue
-            c = a[i] * b[j] <= a[j] * b[i]
-            cond = c if cond is None else cond & c
-        bucket = (
-            F.when(cond, name) if bucket is None else bucket.when(cond, name)
-        )
+    bucket = aspect_bucket_col(F.col("w"), F.col("h"))
     return feats.select("image_id", "w", "h", bucket.alias("bucket"))
 
 
@@ -1632,6 +1614,155 @@ def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         too_flat.alias("too_flat"),
         too_small.alias("too_small"),
         (F.col("ok") & ~too_dark & ~too_flat & ~too_small).alias("keep"),
+    )
+
+
+def q_image_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing (the WebDataset-style shard writer's
+    assignment step): within each aspect bucket, lay images out in
+    deterministic image_id order and cut a new shard every
+    SHARD_CAPACITY_BYTES of payload — shard_id = floor(exclusive running
+    byte offset / capacity). Dims come from the payload's declared
+    metadata (packing runs AFTER the decode gate has validated them;
+    re-decoding here would be wasted work at corpus scale).
+
+    Scale: the naive plan is one window per bucket — 5 partitions, each a
+    single reducer over corpus/5 rows. This implements the two-level
+    offset decomposition instead (the same trick rank_frontier_scalable
+    uses for crawl-order seq): block = image_id range, a groupBy computes
+    per-(bucket, block) byte sums (tiny — one row per block), the driver
+    cumulates exclusive base offsets per bucket in block order and
+    broadcasts them back, and the intra-block running sum is a window
+    partitioned by (bucket, block) — parallelism = #blocks, serial work
+    O(block_size). Size blocks so #blocks ≈ sqrt(n) (both levels bounded);
+    nest another level for 10^9+ images, as priority_cutoff does.
+
+    Oracle: VALUES ground truth — the same exclusive cumsum computed
+    driver-side from the datagen parameters (no Spark, no blocks), so the
+    gate proves the two-level decomposition ≡ the per-bucket spec.
+    """
+    import pandas as pd
+
+    from . import datagen, schemas
+    from .functions.multimodal import SHARD_CAPACITY_BYTES, aspect_bucket_col
+
+    payload = spark.createDataFrame(
+        datagen.gen_varied_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
+    )
+    df = payload.select(
+        "image_id",
+        aspect_bucket_col(F.col("w"), F.col("h")).alias("bucket"),
+        F.length("bytes").cast("int").alias("nbytes"),
+        (F.col("image_id").cast("long") / F.lit(16)).cast("long").alias("__blk"),
+    )
+    lvl1 = (
+        df.groupBy("bucket", "__blk")
+        .agg(F.sum("nbytes").alias("__blk_bytes"))
+        .collect()
+    )
+    base, run = [], {}
+    for r in sorted(lvl1, key=lambda r: (r["bucket"], r["__blk"])):
+        base.append((r["bucket"], r["__blk"], run.get(r["bucket"], 0)))
+        run[r["bucket"]] = run.get(r["bucket"], 0) + r["__blk_bytes"]
+    offsets = spark.createDataFrame(
+        pd.DataFrame(base, columns=["bucket", "__blk", "__base"])
+    )
+    w = (
+        Window.partitionBy("bucket", "__blk")
+        .orderBy("image_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(F.broadcast(offsets), ["bucket", "__blk"])
+        .withColumn(
+            "bucket_off",
+            (F.col("__base") + F.coalesce(F.sum("nbytes").over(w), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("bucket_off") / F.lit(SHARD_CAPACITY_BYTES)).cast("int"),
+        )
+        .select("image_id", "bucket", "nbytes", "bucket_off", "shard_id")
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column features (the audio twin of image_decode_stats /
+    image_features): decode WAV → duration/rms/peak + silence/clipping
+    flags + 64-bit energy fingerprint, one mapInPandas pass. The fixture
+    plants silent clips (every 7th), clipped clips (every 5th), and
+    undecodable mp3 rows (every 11th — ok=False, features null: the
+    classify-don't-crash path a mixed 100 TB media corpus needs).
+
+    Scale: pure map stage — no shuffle; binary streams through Arrow in
+    bounded batches, per-clip loop (codec-dominated), never per-sample.
+
+    Oracle: VALUES ground truth recomputed from the GENERATION PARAMETERS
+    (groundtruth.expected_audio_features regenerates each clip's samples
+    from datagen and recomputes features without touching WAV bytes — so
+    the gate checks the encode → Spark → decode round-trip end to end)."""
+    from . import datagen, schemas
+    from .functions.multimodal import audio_features
+
+    payload = spark.createDataFrame(
+        datagen.gen_audio_payload_pdf(84), schema=schemas.AUDIO_PAYLOAD_SCHEMA
+    )
+    # undecodable rows keep ok=False but get typed zero/false features —
+    # the gate compare (and DuckDB's pandas bridge) must never see NULLs
+    return (
+        audio_features(payload)
+        .drop("error")
+        .na.fill({"sample_rate": 0, "n_samples": 0, "duration_s": 0.0,
+                  "rms": 0.0, "peak": 0.0, "ahash": 0})
+        .na.fill(False, ["silent", "clipped"])
+    )
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (the frame-extraction pass a video-training
+    pipeline runs before captioning): every 4th frame per clip → one row
+    per sampled frame with phash, brightness, and a scene-cut flag
+    (phash hamming vs the previous sampled frame ≥ 16). Real plumbing
+    over the FVID stub container (video.py docstring — swap in pyav for
+    h264 and nothing downstream changes).
+
+    Scale: map-side explode — no shuffle; only sampled frames are
+    materialized per clip.
+
+    Oracle: VALUES ground truth regenerated from datagen's frame
+    parameters (groundtruth.expected_video_frame_sample)."""
+    from . import datagen, schemas
+    from .functions.multimodal import video_frames
+
+    payload = spark.createDataFrame(
+        datagen.gen_video_payload_pdf(36), schema=schemas.VIDEO_PAYLOAD_SCHEMA
+    )
+    return video_frames(payload, every_n=4).drop("error")
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip scene-cut rollup over the sampled frames: cut count and
+    first cut frame (every 3rd fixture clip has a planted mid-clip scene
+    change). One groupBy shuffle over the map-side frame sample.
+
+    Oracle: VALUES ground truth (groundtruth.expected_video_scene_cuts)."""
+    from . import datagen, schemas
+    from .functions.multimodal import video_frames
+
+    payload = spark.createDataFrame(
+        datagen.gen_video_payload_pdf(36), schema=schemas.VIDEO_PAYLOAD_SCHEMA
+    )
+    frames = video_frames(payload, every_n=4)
+    return frames.groupBy("media_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.max("fps").alias("fps"),
+        F.count("frame_idx").alias("n_sampled"),
+        F.count_if(F.col("is_cut")).cast("int").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("is_cut"), F.col("frame_idx"))), F.lit(-1)
+        ).alias("first_cut_idx"),  # -1 = no cut (gate compare is null-free)
     )
 
 
@@ -1823,6 +1954,10 @@ QUERIES = {
     "image_dedup_retention": q_image_dedup_retention,
     "image_aspect_buckets": q_image_aspect_buckets,
     "image_quality_gate": q_image_quality_gate,
+    "image_shard_pack": q_image_shard_pack,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
+    "video_scene_cuts": q_video_scene_cuts,
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,
 }

@@ -203,6 +203,98 @@ def gen_varied_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+#: audio fixture parameters (seconds per clip cycles; 8 kHz mono PCM16)
+AUDIO_SR = 8000
+AUDIO_DURS = (0.5, 0.8, 1.2, 1.6)
+
+
+def media_id_for(i: int) -> str:
+    return f"m{i:07d}"
+
+
+def audio_samples_for(i: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Deterministic int16 mono clip: two-sine mix with id-dependent
+    frequencies/amplitude. Planted populations: every 7th clip is SILENT
+    (zeros), every 5th is amplified past full-scale (CLIPPED after the
+    int16 clamp). Non-planted clips peak at ≤0.99 — below the clip flag's
+    0.999 threshold by construction."""
+    u = _stable_u64(f"aud:{seed}:{i}")
+    n = int(AUDIO_DURS[i % len(AUDIO_DURS)] * AUDIO_SR)
+    if i % 7 == 0:
+        return np.zeros(n, np.int16)
+    t = np.arange(n, dtype=np.float64) / AUDIO_SR
+    f1, f2 = 100 + u % 900, 150 + (u >> 16) % 1500
+    a = 0.35 + ((u >> 32) % 40) / 100.0  # 0.35..0.74 → peak ≤ 0.99
+    phase = ((u >> 48) % 628) / 100.0
+    x = a * np.sin(2 * math.pi * f1 * t) + 0.25 * np.sin(2 * math.pi * f2 * t + phase)
+    if i % 5 == 0:
+        x = x * 2.2  # drive past full-scale → clamped → clipped flag
+    return np.clip(np.round(x * 32767), -32767, 32767).astype(np.int16)
+
+
+def gen_audio_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Audio payload table (media_id, bytes, fmt, caption): WAV clips from
+    audio_samples_for, except every 11th row is an UNDECODABLE mp3 blob
+    (ID3 magic + filler) — the mixed-corpus population for the soft-fail
+    path (ok=False, features null)."""
+    from .functions.audio import encode_wav
+
+    rows = []
+    for i in range(n):
+        if i % 11 == 0:
+            blob, fmt = b"ID3" + bytes(200), "mp3"
+        else:
+            blob, fmt = encode_wav(audio_samples_for(i, seed), AUDIO_SR), "wav"
+        rows.append(
+            {
+                "media_id": media_id_for(i),
+                "bytes": blob,
+                "fmt": fmt,
+                "caption": caption_for(i, seed),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+#: video fixture parameters: frame-count cycle, 32×24 RGB, 8 fps
+VIDEO_NFRAMES = (12, 16, 24)
+VIDEO_W, VIDEO_H, VIDEO_FPS = 32, 24, 8
+
+
+def video_frames_for(i: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Deterministic (n, h, w, 3) uint8 clip: a sinusoid base image with a
+    per-frame brightness ramp (+3/frame — phash-stable: the median shifts
+    with the pixels). Every 3rd clip has a SCENE CUT at n//2: the second
+    half ramps over a different base image (phash jumps ≫ the 16-bit
+    hamming threshold)."""
+    n = VIDEO_NFRAMES[i % len(VIDEO_NFRAMES)]
+    base = make_image(i, VIDEO_W, VIDEO_H, seed).astype(np.int16)
+    alt = make_image(i + 100_000, VIDEO_W, VIDEO_H, seed).astype(np.int16)
+    cut_at = n // 2 if i % 3 == 0 else None
+    frames = np.empty((n, VIDEO_H, VIDEO_W, 3), np.uint8)
+    for f in range(n):
+        src = alt if (cut_at is not None and f >= cut_at) else base
+        frames[f] = np.clip(src + 3 * f, 0, 255).astype(np.uint8)
+    return frames
+
+
+def gen_video_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Video payload table (media_id, bytes, caption): FVID stub-container
+    clips from video_frames_for."""
+    from .functions.video import encode_video
+
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "media_id": media_id_for(i),
+                "bytes": encode_video(video_frames_for(i, seed), VIDEO_FPS),
+                "caption": caption_for(i, seed),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def gen_neardup_payload_pdf(
     n: int, seed: int = DEFAULT_SEED, small: bool = True
 ) -> pd.DataFrame:

@@ -270,6 +270,17 @@ def hamming64(a: int, b: int) -> int:
 # ----------------------------------------------------- batch entry points
 
 
+def typed_frame(rows: list[dict], dtypes: dict[str, str]) -> pd.DataFrame:
+    """rows → DataFrame with pandas NULLABLE dtypes ("Int64", "Float64",
+    "boolean"), built through object columns so int64 values NEVER pass
+    through float64. pd.DataFrame(rows) on a mixed int/None column infers
+    float64, silently rounding 64-bit hashes (phash/ahash) beyond the
+    53-bit mantissa — every batch UDF that can emit None alongside a hash
+    must build its output through this."""
+    df = pd.DataFrame(rows, dtype=object)
+    return df.astype(dtypes)
+
+
 def decode_validate_batch(
     blobs: pd.Series,
     fmts: pd.Series,

@@ -5,11 +5,12 @@ everything here is batch-shaped for mapInPandas).
 
 Real in this container (numpy-only): image decode (via the PNG codec /
 lossy stub in imaging.py), mean-pool resize, per-channel feature
-extraction, phash. STUBBED (import-gated, the libs are not installed):
-real JPEG/WebP decode, audio decode, video frame sampling — each raises
-NotImplementedError with the swap-in instructions; their Spark-side
-plumbing (schemas, batch shape, partitioning) is real and tested with the
-deterministic fake codec.
+extraction, phash; WAV/PCM16 audio decode + features (audio.py — a real
+RIFF codec); video frame sampling + scene cuts over the FVID stub
+container (video.py). STUBBED (raising with swap-in instructions):
+real JPEG/WebP via PIL when absent, compressed audio (mp3/aac →
+soundfile), real video codecs (h264 → pyav) — undecodable rows classify
+soft (ok=False / error row), never crash the task.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .imaging import decode_image, encode_image, phash64
+from .imaging import decode_image, encode_image, phash64, typed_frame
 
 # ------------------------------------------------------------------ image
 
@@ -56,6 +57,30 @@ ASPECT_BUCKETS = (
     ("portrait_3_4", 3, 4),
     ("portrait_9_16", 9, 16),
 )
+
+def aspect_bucket_col(w, h):
+    """Column expression assigning (w, h) to its ASPECT_BUCKETS name —
+    argmin |ln(w/h) − ln(p/q)| via the exact integer cross-multiplication
+    in the constant's docstring, ties → first bucket in declaration order.
+    Pure JVM arithmetic (20 long comparisons), whole-stage-codegen-able."""
+    a = [F.greatest(w * q, h * p).cast("long") for _, p, q in ASPECT_BUCKETS]
+    b = [F.least(w * q, h * p).cast("long") for _, p, q in ASPECT_BUCKETS]
+    bucket = None
+    for i, (name, _, _) in enumerate(ASPECT_BUCKETS):
+        cond = None
+        for j in range(len(ASPECT_BUCKETS)):
+            if j == i:
+                continue
+            c = a[i] * b[j] <= a[j] * b[i]
+            cond = c if cond is None else cond & c
+        bucket = F.when(cond, name) if bucket is None else bucket.when(cond, name)
+    return bucket
+
+
+#: Target shard payload for training-shard packing (WebDataset-style):
+#: sandbox-sized so the 120-image fixture fills several shards per aspect
+#: bucket; a production corpus uses ~100 MB–1 GB here.
+SHARD_CAPACITY_BYTES = 65536
 
 #: Image quality-gate thresholds (the image twin of the Gopher/C4-style
 #: text gate): flags evaluate on the ROUNDED (4 dp) brightness/contrast
@@ -119,7 +144,20 @@ def image_features(payload: DataFrame, thumb: tuple[int, int] = (16, 12)) -> Dat
                             "thumb_phash": None,
                         }
                     )
-            yield pd.DataFrame(rows)
+            # typed_frame: a mixed ok/error batch must not let pandas
+            # float64-infer the int64 phash columns (53-bit rounding)
+            yield typed_frame(
+                rows,
+                {
+                    "ok": "boolean",
+                    "w": "Int32",
+                    "h": "Int32",
+                    "brightness": "Float64",
+                    "contrast": "Float64",
+                    "phash": "Int64",
+                    "thumb_phash": "Int64",
+                },
+            )
 
     return payload.select("image_id", "bytes", "fmt").mapInPandas(
         _work, schema=IMAGE_FEATURES_SCHEMA
@@ -162,43 +200,72 @@ def reencode_thumbnails(payload: DataFrame, out_w: int = 16, out_h: int = 12) ->
     return payload.select("image_id", "bytes", "fmt").mapInPandas(_work, schema=schema)
 
 
-# ------------------------------------------------- audio / video (STUBS)
+# ---------------------------------------------------------- audio / video
+#
+# The codecs live in audio.py (REAL RIFF/WAV PCM16) and video.py (FVID —
+# deterministic fake container, clearly-marked stub); compressed formats
+# (mp3/h264) raise NotImplementedError inside the batch bodies with the
+# soundfile/pyav swap-in notes. The Spark-side plumbing below is real and
+# gate-tested either way.
+
+from .audio import decode_audio_features_batch  # noqa: E402
+from .video import sample_video_frames_batch  # noqa: E402
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("silent", T.BooleanType()),
+        T.StructField("clipped", T.BooleanType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
 
-def decode_audio_batch(blobs: pd.Series, fmts: pd.Series) -> pd.DataFrame:
-    """STUB — audio decode needs soundfile/librosa (not in container).
-    Swap in: soundfile.read per blob inside this batch function; the
-    Spark-side plumbing (mapInPandas over binary column →
-    AUDIO_FEATURES_SCHEMA) is already correct."""
-    raise NotImplementedError(
-        "audio decode stubbed: install soundfile and replace decode_audio_batch body"
+def audio_features(payload: DataFrame) -> DataFrame:
+    """Decode → duration/rms/peak/silence/clipping/fingerprint, one
+    mapInPandas pass over (media_id, bytes, fmt) — the audio twin of
+    image_features. Pure map stage: no shuffle, Arrow-batched binary."""
+
+    def _work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield decode_audio_features_batch(pdf["media_id"], pdf["bytes"], pdf["fmt"])
+
+    return payload.select("media_id", "bytes", "fmt").mapInPandas(
+        _work, schema=AUDIO_FEATURES_SCHEMA
     )
 
 
 VIDEO_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
         T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_png", T.BinaryType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("is_cut", T.BooleanType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
 
-def sample_video_frames_batch(
-    blobs: pd.Series, every_n: int = 30
-) -> pd.DataFrame:
-    """STUB — video frame sampling needs pyav/cv2 (not in container).
-    Swap in: av.open(BytesIO(blob)) → decode every_n-th frame → encode_png;
-    output explodes to one row per sampled frame (VIDEO_FRAMES_SCHEMA)."""
-    raise NotImplementedError(
-        "video frame sampling stubbed: install pyav and replace this body"
+def video_frames(payload: DataFrame, every_n: int = 4) -> DataFrame:
+    """Sample every_n-th frame per clip → one row per sampled frame with
+    phash/brightness/scene-cut flags (VIDEO_FRAMES_SCHEMA). Map-side
+    explode: no shuffle; output rows per task bounded by
+    clip_frames/every_n × arrow batch size."""
+
+    def _work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield sample_video_frames_batch(pdf["media_id"], pdf["bytes"], every_n)
+
+    return payload.select("media_id", "bytes").mapInPandas(
+        _work, schema=VIDEO_FRAMES_SCHEMA
     )

@@ -32,6 +32,25 @@ PAYLOAD_SCHEMA = T.StructType(
     ]
 )
 
+# Audio / video payloads: same opaque-binary-plus-metadata shape as the
+# image payload (input_hint generalized to the other media columns).
+AUDIO_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+    ]
+)
+
+VIDEO_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("caption", T.StringType(), True),
+    ]
+)
+
 # ------------------------------------------------------------- site graph
 # Synthetic listing structure (FIXTURES.md §2) standing in for live
 # pagination (reference page_navigator.py:154-190).
