@@ -1766,6 +1766,40 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingestion (sources/warc.py): parse a plain .warc
+    and a gzip .warc.gz (the Common-Crawl layout) into one row per record
+    — the replayable-input path a 100 TB crawl actually starts from.
+    Payload bytes are reported as (length, md5) so the gate hashes them
+    without binary literals.
+
+    Scale: one task per WARC file (binaryFile is not block-splittable and
+    neither is WARC — see the module docstring), record explosion in an
+    Arrow-batched mapInPandas; a real crawl has 10^5 files per snapshot,
+    so file-level parallelism saturates any executor count.
+
+    Oracle: VALUES ground truth straight from the fixture's generation
+    parameters (groundtruth.expected_warc_ingest) — the WARC bytes are
+    only ever read through the Spark parser."""
+    from . import datagen
+    from .sources.warc import records_from_files
+
+    files = spark.createDataFrame(
+        sorted(datagen.gen_warc_files().items()), "path string, content binary"
+    )
+    return records_from_files(files).select(
+        "warc_file",
+        "record_idx",
+        "warc_type",
+        "url",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.length("payload").cast("long").alias("nbytes"),
+        F.md5("payload").alias("digest"),
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (the classic text-feature /
     keyword-extraction pass; idf = ln(N/df) over the corpus).
@@ -1958,6 +1992,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frame_sample,
     "video_scene_cuts": q_video_scene_cuts,
+    "warc_ingest": q_warc_ingest,
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,
 }

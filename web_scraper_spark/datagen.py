@@ -295,6 +295,65 @@ def gen_video_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+#: WARC fixture shape: 24 image records + 3 html pages + 2 planted 404s,
+#: split across one plain .warc and one .warc.gz
+N_WARC_IMAGES, N_WARC_HTML, N_WARC_404 = 24, 3, 2
+
+
+def warc_records_for(seed: int = DEFAULT_SEED) -> list[dict]:
+    """The WARC fixture's record list — the GENERATION PARAMETERS the
+    ground truth reads directly, which write_warc encodes and the Spark
+    reader must parse back out. Image payloads are the standard datagen
+    blobs so the bridge (payload_from_warc → decode) can be checked
+    against the payload table's phashes."""
+    from .functions.imaging import encode_image
+
+    recs = []
+    for i in range(N_WARC_IMAGES):
+        w, h = dims_for(i, seed)
+        fmt = fmt_for(i, seed)
+        recs.append(
+            {
+                "url": f"https://img.example.test/items/{image_id_for(i)}.{fmt}",
+                "payload": encode_image(make_image(i, w, h, seed), fmt),
+                "content_type": f"image/{fmt}",
+                "status": 200,
+            }
+        )
+    for k in range(N_WARC_HTML):
+        recs.append(
+            {
+                "url": f"https://img.example.test/page/{k + 1}",
+                "payload": f"<html><title>page {k + 1}</title></html>".encode(),
+                "content_type": "text/html",
+                "status": 200,
+            }
+        )
+    for k in range(N_WARC_404):
+        recs.append(
+            {
+                "url": f"https://img.example.test/items/gone{k}.png",
+                "payload": b"not found",
+                "content_type": "text/html",
+                "status": 404,
+            }
+        )
+    return recs
+
+
+def gen_warc_files(seed: int = DEFAULT_SEED) -> dict[str, bytes]:
+    """{filename: bytes} — records split half/half across a plain .warc
+    and a gzip .warc.gz (both layouts must parse identically)."""
+    from .sources.warc import write_warc
+
+    recs = warc_records_for(seed)
+    half = len(recs) // 2
+    return {
+        "crawl-000.warc": write_warc(recs[:half], compress=False),
+        "crawl-001.warc.gz": write_warc(recs[half:], compress=True),
+    }
+
+
 def gen_neardup_payload_pdf(
     n: int, seed: int = DEFAULT_SEED, small: bool = True
 ) -> pd.DataFrame:
