@@ -97,6 +97,9 @@ def main() -> None:
                 "batches": len(stats),
                 "trace_rows": 0 if order is None else order.count(),
                 "seen": 0 if seen is None else seen.count(),
+                # so a packaging test can assert the submitted master was
+                # respected (get_spark must not override spark-submit)
+                "master": spark.sparkContext.master,
             }
         )
     )

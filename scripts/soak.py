@@ -79,10 +79,30 @@ def main() -> None:
     jobs: list[int] = []
     max_groups: dict[str, int] = {}
     t_start = time.time()
+    retries = 0
     for i in range(batches):
-        j0 = max_job_id()
-        t0 = time.time()
-        stats = eng.run_batch(spark)
+        # A multi-day production crawl WILL see transient driver faults;
+        # the engine is checkpoint-resumable by design (crash mid-batch →
+        # re-run from the last checkpoint, partial commits are orphaned by
+        # base_version protection), so the soak exercises that contract
+        # instead of dying: re-run the batch up to twice, then give up.
+        # t0/j0 reset per attempt so the leak bounds below are computed
+        # from clean per-batch samples, not retry-inflated ones.
+        for attempt in range(3):
+            j0 = max_job_id()
+            t0 = time.time()
+            try:
+                stats = eng.run_batch(spark)
+                break
+            except Exception as exc:  # noqa: BLE001 — logged + bounded
+                if attempt == 2:
+                    raise
+                retries += 1
+                print(
+                    f"# batch {i} attempt {attempt} failed, re-running from "
+                    f"checkpoint: {type(exc).__name__}: {str(exc)[:300]}",
+                    file=sys.stderr,
+                )
         batch_s.append(time.time() - t0)
         jobs.append(max_job_id() - j0)
         if stats is None:
@@ -118,6 +138,7 @@ def main() -> None:
         "max_file_groups": max_groups,
         "final_file_groups": file_groups(),
         "urls_done": int(eng.checkpoints.latest()["seen_count"]),
+        "batch_retries": retries,
     }
     ok = (
         last_s <= 1.5 * first_s

@@ -140,7 +140,11 @@ def test_pil_real_jpeg_roundtrip_meets_psnr_window():
     assert sniff_format(blob) == "jpeg"  # real JPEG magic, not the stub's
     out = decode_image(blob, "jpeg", codec="pil")
     assert psnr(img, out) >= PSNR_LOSSY_MIN_DB
-    assert phash64(out) == phash64(decode_image(blob, "jpeg", codec="pil"))
+    # phash stability means stable AGAINST THE SOURCE image: q=90 noise
+    # must not move the DCT signature by more than a couple of bits (the
+    # near-dup banding in analytics tolerates hamming <= 3)
+    drift = bin(phash64(out) ^ phash64(img)).count("1")
+    assert drift <= 2, f"phash drifted {drift} bits over a q=90 roundtrip"
 
 
 def test_fake_jpeg_routes_to_stub_even_under_auto():

@@ -74,6 +74,10 @@ def test_spark_submit_py_files_demo(tmp_path):
     assert lines, f"no JSON output:\n{out.stdout[-2000:]}"
     final = json.loads(lines[-1])
     assert final["done"] is True
+    # the submitted master must win over get_spark's local[$SPARK_GRAFT_CPUS]
+    # fallback (a plain SparkConf() read before the gateway attaches is empty
+    # — session._submitted_conf attaches first; this catches a regression)
+    assert final["master"] == "local[4]", final["master"]
     # robots excludes a deterministic subset (cold3 disallows /video/; the
     # hot host blocks one item) — exact counts are pinned by the e2e suites,
     # here the claim is the packaged job runs the full crawl end-to-end

@@ -1450,6 +1450,14 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute phash from bytes through the engine's decode path — the
     # payload's phash column is the oracle's side, not this one's
     feats = image_features(payload).select("image_id", "phash")
+    return _phash_band_pairs(feats)
+
+
+def _phash_band_pairs(feats: DataFrame) -> DataFrame:
+    """(id_a, id_b, hamming ≤ 3) pairs from an (image_id, phash) frame via
+    4×16-bit band candidates + exact hamming verify on the slice. Shared by
+    q_image_phash_pairs and q_image_dedup_retention so retention's decode
+    cost is the caller's single feature pass."""
     bands = feats.select(
         "image_id",
         *[
@@ -1525,15 +1533,18 @@ def q_image_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.multimodal import image_features
     from .operators.clustering import connected_components
 
-    pairs = q_image_phash_pairs(spark, sf_dir).select("id_a", "id_b")
+    payload = spark.createDataFrame(
+        datagen.gen_neardup_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
+    )
+    # ONE decode pass: phash (pair candidates) and contrast (retention
+    # ranking) come out of the same persisted feature frame
+    feats = image_features(payload).select("image_id", "phash", "contrast").persist()
+    _PERSISTED_SHINGLES.append(feats)
+    pairs = _phash_band_pairs(feats.select("image_id", "phash")).select("id_a", "id_b")
     comp = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("doc_id").alias("image_id"),
         F.col("canonical_id").alias("cluster_id"),
     )
-    payload = spark.createDataFrame(
-        datagen.gen_neardup_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
-    )
-    feats = image_features(payload).select("image_id", "contrast")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("contrast").desc(), F.col("image_id")
     )

@@ -75,6 +75,23 @@ N_FRONTIER_BUCKETS = 64  # frontier partitioning: bucket = pmod(priority, 64)
 HOT_HOST_SHARE = 0.10  # batch share above which a host gets salted
 
 
+def _pin_active_session(spark: SparkSession) -> None:
+    """Re-assert the JVM thread-local active session before each batch.
+
+    ``SparkPlan.session`` is captured from ``getActiveSession`` at plan
+    construction; a long-running driver (scripts/soak.py died at batch
+    ~520 of a 1000-batch run) can hit a window where a planner thread
+    sees no active session and builds nodes with ``session = null``,
+    which then NPEs at the next action's ``resetMetrics``
+    (``Cannot invoke SparkSession.sparkContext() ... session() is
+    null``). One py4j call per batch; harmless when already set."""
+    try:
+        cls = getattr(spark._jvm, "org.apache.spark.sql.classic.SparkSession")
+        cls.setActiveSession(spark._jsparkSession)
+    except Exception:  # non-classic backends (connect) manage their own
+        pass
+
+
 def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
@@ -342,6 +359,7 @@ class CrawlEngine:
         checkpoint — safe to unpersist once the commits are durable.
         Pre-existing persisted RDDs (a user's cached analytics tables) are
         untouched."""
+        _pin_active_session(spark)
         before = _persistent_rdd_ids(spark)
         try:
             return self._run_batch(spark)
@@ -1027,6 +1045,11 @@ class CrawlEngine:
         self._origin_kind = "store"
         self._payload_path = payload_path
         self._fault_plan = fault_plan or {}
+        # re-attach invalidates the cached schema (a different table may
+        # have different columns — reading it under the stale schema would
+        # silently null them) and the cached fault broadcast
+        self._payload_schema = None
+        self._drop_fault_bc()
 
     def attach_http_origin(self, max_body_bytes: int | None = None) -> None:
         """Point the engine at a LIVE HTTP origin: every scheduled frontier
@@ -1053,8 +1076,31 @@ class CrawlEngine:
         self._payload_schema = df.schema
         return df
 
+    _fault_bc_cache = None  # (broadcast, SparkContext) — one per attach
+
     def _fault_bc(self, spark: SparkSession):
-        return spark.sparkContext.broadcast(self._fault_plan or {})
+        """Broadcast of the fault plan, created ONCE per attach_store and
+        reused every batch. A fresh broadcast per batch is an O(batches)
+        driver+executor block leak serviced only by the lagging
+        ContextCleaner — the same leak class run_batch's explicit RDD
+        release exists for. Re-broadcast only if the context changed
+        (a test stopped and restarted the session)."""
+        cached = self._fault_bc_cache
+        if cached is not None and cached[1] is spark.sparkContext:
+            return cached[0]
+        self._drop_fault_bc()
+        bc = spark.sparkContext.broadcast(self._fault_plan or {})
+        self._fault_bc_cache = (bc, spark.sparkContext)
+        return bc
+
+    def _drop_fault_bc(self) -> None:
+        cached = getattr(self, "_fault_bc_cache", None)
+        if cached is not None:
+            try:
+                cached[0].destroy(blocking=False)
+            except Exception:  # context already stopped
+                pass
+        self._fault_bc_cache = None
 
     @staticmethod
     def _ts_to_logical(ts) -> float:

@@ -155,6 +155,30 @@ class DiscoveringCrawlEngine(CrawlEngine):
         ``error_msg`` (−1 = every attempt; the page tombstones permanent
         once its error class's retry budget is spent)."""
         self._listing_fault_plan = dict(fault_plan)
+        self._drop_listing_fault_bc()
+
+    _listing_fault_bc_cache = None  # (broadcast, SparkContext)
+
+    def _listing_fault_bc(self, spark):
+        """One broadcast per attach, reused every discovery step — a fresh
+        broadcast per step is an O(batches) block leak serviced only by the
+        lagging ContextCleaner (same class as run_batch's RDD release)."""
+        cached = self._listing_fault_bc_cache
+        if cached is not None and cached[1] is spark.sparkContext:
+            return cached[0]
+        self._drop_listing_fault_bc()
+        bc = spark.sparkContext.broadcast(self._listing_fault_plan)
+        self._listing_fault_bc_cache = (bc, spark.sparkContext)
+        return bc
+
+    def _drop_listing_fault_bc(self) -> None:
+        cached = getattr(self, "_listing_fault_bc_cache", None)
+        if cached is not None:
+            try:
+                cached[0].destroy(blocking=False)
+            except Exception:  # context already stopped
+                pass
+        self._listing_fault_bc_cache = None
 
     def _frontier_bucketed_schema(self):
         from .. import schemas
@@ -217,7 +241,7 @@ class DiscoveringCrawlEngine(CrawlEngine):
         # mapInPandas body for batched HTTP — same shape as the payload
         # fetch stage in sources/store.py)
         n_pages_total, vpp, seed = site["n_pages"], site["vpp"], site["seed"]
-        fault_bc = spark.sparkContext.broadcast(self._listing_fault_plan)
+        fault_bc = self._listing_fault_bc(spark)
 
         def _fetch_listing(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from ..datagen import listing_html_for

@@ -65,15 +65,12 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count — on a real
     cluster leave it unset and let AQE coalesce.
     """
-    if master is None:
-        # Under spark-submit the master arrives as the spark.master system
-        # property; respect it instead of forcing the sandbox default
-        # (otherwise `spark-submit --master yarn` would silently run local).
-        from pyspark import SparkConf
-
-        submitted = SparkConf()
-        if submitted.contains("spark.master"):
-            master = submitted.get("spark.master")
+    submitted = _submitted_conf()
+    if master is None and submitted is not None and submitted.contains("spark.master"):
+        # Under spark-submit the master arrives as a JVM system property;
+        # respect it instead of forcing the sandbox default (otherwise
+        # `spark-submit --master yarn` would silently run local).
+        master = submitted.get("spark.master")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     n_cores = _parse_local_cores(master)
@@ -88,11 +85,35 @@ def get_spark(
         conf.update(_CLUSTER_DEFAULTS)
     if extra_conf:
         conf.update(extra_conf)
+    # Anything the submit set (--conf / spark-defaults) beats these library
+    # defaults; only the caller's explicit arguments beat the submit.
+    explicit = set(extra_conf or ())
+    if shuffle_partitions is not None:
+        explicit.add("spark.sql.shuffle.partitions")
     for k, v in conf.items():
+        if submitted is not None and k not in explicit and submitted.contains(k):
+            continue
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _submitted_conf():
+    """The conf a surrounding ``spark-submit`` provided, or None.
+
+    Under spark-submit the driver JVM already exists (PythonRunner exports
+    PYSPARK_GATEWAY_PORT) and carries ``--master`` / ``--conf`` as system
+    properties — but a plain ``SparkConf()`` constructed BEFORE the Python
+    side attaches to that gateway is an empty Python-side dict and sees
+    none of it. Attach first, then read."""
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        return None
+    from pyspark import SparkConf
+    from pyspark.context import SparkContext
+
+    SparkContext._ensure_initialized()  # attach the submit-owned gateway
+    return SparkConf()
 
 
 def _parse_local_cores(master: str) -> int:
