@@ -296,3 +296,67 @@ def test_lineage_tracks_commit_provenance(spark, crawl):
     assert all(o.startswith("batch:") for o in by_table["payload_out"])
     # the frontier merged at least one batch's buckets
     assert any(o.startswith("batch:") for o in by_table["frontier"])
+
+
+def test_run_retries_transient_midbatch_failure(spark, tmp_path):
+    """The batch is the engine's unit of recovery IN-PROCESS too: a batch
+    that dies AFTER some table commits (payload/seen/bloom_delta are
+    durable, the checkpoint is not) is re-run by run()'s transient-retry
+    loop, the orphaned versions are superseded by base_version commits,
+    and the finished crawl is indistinguishable from an uninterrupted one
+    — the same contract test_resume_from_checkpoint proves across
+    processes, exercised here without a restart."""
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root)
+    clean = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "clean")
+
+    eng = CrawlEngine(os.path.join(tmp_root, "flaky"), batch_size=BATCH, n_partitions=8)
+    eng.attach_store(ppath, faults)
+    eng.init(site, robots_df)
+    # inject a mid-batch fault: schedule_log commits AFTER payload_out,
+    # seen and bloom_delta (plans/crawl.py batch commit order), so the
+    # first two attempts of batch 0 leave real orphan versions behind
+    real_commit = eng.schedule_log.commit_append
+    boom = {"left": 2}
+
+    def flaky(df, base_version=None, origin=None):
+        if boom["left"] > 0:
+            boom["left"] -= 1
+            raise RuntimeError("injected mid-batch transient fault")
+        return real_commit(df, base_version=base_version, origin=origin)
+
+    eng.schedule_log.commit_append = flaky
+    eng.run(spark, max_batches=100)  # transient_retries=2 absorbs both
+    assert boom["left"] == 0
+
+    def trace(e):
+        return [
+            (r["seq"], r["url"], r["image_id"])
+            for r in e.crawl_order(spark).collect()
+        ]
+
+    assert trace(eng) == trace(clean)
+    a = {r["url_hash"] for r in clean.seen_set(spark).collect()}
+    b = {r["url_hash"] for r in eng.seen_set(spark).collect()}
+    assert a == b
+    # the retried batch's payload is single-copy (orphans superseded,
+    # never unioned): one row per fetched image
+    pay = eng.payload_out.read(spark)
+    assert pay.groupBy("image_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_run_raises_after_retry_budget(spark, tmp_path):
+    """A DETERMINISTIC failure must surface, not loop: with the injected
+    fault outliving transient_retries, run() re-raises."""
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = CrawlEngine(os.path.join(tmp_root, "state"), batch_size=BATCH, n_partitions=8)
+    eng.attach_store(ppath, faults)
+    eng.init(site, robots_df)
+
+    def always_boom(df, base_version=None, origin=None):
+        raise RuntimeError("deterministic fault")
+
+    eng.schedule_log.commit_append = always_boom
+    with pytest.raises(RuntimeError, match="deterministic fault"):
+        eng.run(spark, max_batches=100, transient_retries=1)

@@ -730,10 +730,33 @@ class CrawlEngine:
         )
         return {"batch_id": batch_id, "scheduled": 0, "clock_jump": True}
 
-    def run(self, spark: SparkSession, max_batches: int = 1000) -> list[dict]:
+    def run(
+        self,
+        spark: SparkSession,
+        max_batches: int = 1000,
+        transient_retries: int = 2,
+    ) -> list[dict]:
+        """Run micro-batches to completion (or ``max_batches``).
+
+        A multi-day crawl driver WILL see transient faults (an executor
+        OOM, a planner hiccup, a blip in the storage layer). The batch is
+        the engine's unit of recovery: every batch re-reads the last
+        checkpoint and partial commits are orphaned by base_version
+        protection, so a failed batch is simply re-run — the same
+        semantics as killing the driver and resuming, without the restart.
+        ``transient_retries`` bounds consecutive re-runs of ONE batch
+        (a deterministic failure should surface, not loop); 0 disables."""
         out = []
         for _ in range(max_batches):
-            s = self.run_batch(spark)
+            attempts = 0
+            while True:
+                try:
+                    s = self.run_batch(spark)
+                    break
+                except Exception:
+                    attempts += 1
+                    if attempts > transient_retries:
+                        raise
             if s is None:
                 break
             out.append(s)
