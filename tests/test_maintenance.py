@@ -406,3 +406,58 @@ def test_requeue_on_discovery_plan_keeps_pending_counter(spark, tmp_path):
     runs = eng.run(spark, max_batches=50)
     assert sum(s.get("fetched_ok", 0) for s in runs) == 5
     assert int(eng.checkpoints.latest()["pending_detail"]) == 0
+
+
+def test_recrawl_stale_requeues_the_trace_prefix(spark, tmp_path):
+    """Staleness-driven recrawl: before_batch=k requeues exactly the seen
+    rows committed before batch k began (the crawl_order_at(k-1) prefix's
+    fetched rows), composing with requeue's invariants, and a rerun
+    restores the full seen set."""
+    from pyspark.sql import functions as F
+
+    from tests.test_crawl_e2e import _fixture, _run_engine
+
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "stale")
+    seen0 = eng.seen_set(spark)
+    n0 = seen0.count()
+    trace0 = eng.crawl_order(spark).count()
+
+    before_batch = 3
+    horizon = int(eng.checkpoint_at(before_batch - 1)["next_seq"]) - 1
+    expected = seen0.filter(F.col("committed_seq") <= horizon).count()
+    assert 0 < expected < n0  # the horizon cuts strictly inside the crawl
+
+    stats = eng.recrawl_stale(spark, before_batch=before_batch)
+    assert stats["seen_removed"] == expected
+    assert stats["requeued"] == expected
+    assert eng.seen_set(spark).count() == n0 - expected
+
+    runs = eng.run(spark, max_batches=50)
+    assert sum(s.get("fetched_ok", 0) for s in runs) == expected
+    assert eng.seen_set(spark).count() == n0
+    assert eng.crawl_order(spark).count() == trace0 + expected
+
+
+def test_recrawl_stale_horizon_forms(spark, tmp_path):
+    """older_than_seq is the explicit horizon form; exactly one of the two
+    horizon arguments must be given."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tests.test_crawl_e2e import _fixture, _run_engine
+
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "hz")
+    seen0 = eng.seen_set(spark)
+    n0 = seen0.count()
+    with _pytest.raises(ValueError):
+        eng.recrawl_stale(spark)
+    with _pytest.raises(ValueError):
+        eng.recrawl_stale(spark, older_than_seq=1, before_batch=2)
+    expected = seen0.filter(F.col("committed_seq") <= 5).count()
+    stats = eng.recrawl_stale(spark, older_than_seq=5)
+    assert stats["seen_removed"] == expected
+    assert eng.seen_set(spark).count() == n0 - expected

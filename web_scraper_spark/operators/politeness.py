@@ -84,6 +84,17 @@ def salted_repartition(
     one hot host land in the same partition — pacing stays enforceable —
     while consecutive waves rotate partitions. Deterministic: no
     Math.random, so re-runs produce identical placement.
+
+    ``n_salts`` is a politeness-vs-spread dial, not a free speedup knob:
+    a hot host's straggler shrinks by at most ``min(n_salts, cores)``
+    (measured: scripts/skew_bench.py), but waves on different salts are
+    only serialized within their own partition, so the host's worst-case
+    aggregate in-flight rises to ``per_host_parallelism × n_salts``. The
+    default 8 keeps a 50%-hot batch off the straggler cliff while staying
+    within one order of magnitude of the reference's 3-per-host bound; a
+    1000-executor cluster crawling one giant CDN raises it deliberately,
+    accepting the politeness dilution (or negotiating a rate with the
+    host), rather than silently.
     """
     if "fetch_wave" not in batch.columns:
         batch = assign_waves(batch)

@@ -960,6 +960,50 @@ class CrawlEngine:
             "filter": filter_mode,
         }
 
+    def recrawl_stale(
+        self,
+        spark: SparkSession,
+        older_than_seq: int | None = None,
+        before_batch: int | None = None,
+    ) -> dict:
+        """Staleness-driven recrawl: requeue every fetched URL whose
+        payload was committed at or below a sequence horizon (reference
+        behavior: the scraper re-scans existing pages on every run and
+        re-downloads anything missing/changed — main.py re-crawl loop;
+        here the horizon expresses "content older than X is stale").
+
+        The seen log's ``committed_seq`` is the engine's logical clock
+        (global crawl order), so age is expressed in it directly:
+
+          * ``older_than_seq`` — explicit horizon; or
+          * ``before_batch`` — everything fetched before checkpoint
+            ``before_batch`` began, i.e. ``next_seq`` of checkpoint
+            ``before_batch - 1`` (time-travel derived, so the horizon is
+            exactly the trace prefix boundary ``crawl_order_at`` exposes).
+
+        Thin by design: horizon selection composes with :meth:`requeue`,
+        which owns the invariants (filter delete/rebuild, payload
+        retraction, bucket-merged frontier flip, maintenance checkpoint).
+        Same quiesced single-writer contract as requeue."""
+        if (older_than_seq is None) == (before_batch is None):
+            raise ValueError(
+                "recrawl_stale: pass exactly one of older_than_seq / before_batch"
+            )
+        if before_batch is not None:
+            ck = self.checkpoint_at(int(before_batch) - 1)
+            if ck is None:
+                raise KeyError(
+                    f"recrawl_stale: no checkpoint for batch_id={int(before_batch) - 1}"
+                )
+            older_than_seq = int(ck["next_seq"]) - 1
+        seen = self.seen_set(spark)
+        if seen is None:
+            return {"requeued": 0, "seen_removed": 0, "filter": "none"}
+        stale = seen.filter(F.col("committed_seq") <= int(older_than_seq)).select(
+            "url_hash"
+        )
+        return self.requeue(spark, stale)
+
     def regrow_filter(
         self, spark: SparkSession, capacity: int | None = None, growth: float = 4.0
     ) -> dict:
