@@ -360,3 +360,89 @@ def test_run_raises_after_retry_budget(spark, tmp_path):
     eng.schedule_log.commit_append = always_boom
     with pytest.raises(RuntimeError, match="deterministic fault"):
         eng.run(spark, max_batches=100, transient_retries=1)
+
+
+def _robots_from_pdf(spark, pdf):
+    return spark.createDataFrame(pdf, schema=schemas.ROBOTS_SCHEMA)
+
+
+def test_refresh_robots_unblocks_allowed_urls(spark, tmp_path):
+    """Mid-crawl robots refresh, unblock direction: rules relaxed after the
+    crawl finished → previously robots_blocked rows flip to pending and a
+    rerun fetches exactly them; history (done rows) untouched."""
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = _run_engine(spark, tmp_root, site, robots_df, ppath, faults, "rr")
+    fr0 = eng.frontier.read(spark)
+    n_blocked0 = fr0.filter(F.col("status") == "robots_blocked").count()
+    n_done0 = fr0.filter(F.col("status") == "done").count()
+    n_seen0 = eng.seen_set(spark).count()
+    assert n_blocked0 > 0
+
+    permissive = datagen.gen_robots_pdf()
+    permissive["disallow_prefixes"] = [[] for _ in range(len(permissive))]
+    stats = eng.refresh_robots(spark, _robots_from_pdf(spark, permissive))
+    assert stats == {"unblocked": n_blocked0, "blocked_pending": 0, "blocked_failed": 0}
+
+    runs = eng.run(spark, max_batches=50)
+    assert sum(s.get("fetched_ok", 0) for s in runs) == n_blocked0
+    fr1 = eng.frontier.read(spark)
+    assert fr1.filter(F.col("status") == "robots_blocked").count() == 0
+    assert fr1.filter(F.col("status") == "done").count() == n_done0 + n_blocked0
+    assert eng.seen_set(spark).count() == n_seen0 + n_blocked0
+
+
+def test_refresh_robots_blocks_pending_mid_crawl(spark, tmp_path):
+    """Block direction: rules tightened after 2 batches → every unfetched
+    URL the new rules disallow flips to robots_blocked (gated immediately,
+    not at schedule time), none of them is ever fetched afterwards, and the
+    crawl still completes."""
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = CrawlEngine(os.path.join(tmp_root, "rb"), batch_size=BATCH, n_partitions=8)
+    eng.attach_store(ppath, faults)
+    eng.init(site, robots_df)
+    for _ in range(2):
+        eng.run_batch(spark)
+    trace_pre = {r["url"] for r in eng.crawl_order(spark).collect()}
+
+    tightened = datagen.gen_robots_pdf()
+    tightened.loc[
+        tightened["host"] == datagen.HOT_HOST, "disallow_prefixes"
+    ] = [["/video/"]]
+    new_rules = {r.host: list(r.disallow_prefixes) for r in tightened.itertuples()}
+
+    def disallowed(url, host):
+        from urllib.parse import urlparse
+
+        path = urlparse(url).path or "/"
+        return any(path.startswith(p) for p in new_rules.get(host, []))
+
+    pending_rows = (
+        eng.frontier.read(spark)
+        .filter(F.col("status").isin("pending", "failed"))
+        .select("url", "host")
+        .collect()
+    )
+    expect_blocked = sum(1 for r in pending_rows if disallowed(r["url"], r["host"]))
+    assert expect_blocked > 0
+
+    stats = eng.refresh_robots(spark, _robots_from_pdf(spark, tightened))
+    assert stats["blocked_pending"] + stats["blocked_failed"] == expect_blocked
+
+    eng.run(spark, max_batches=50)
+    fr = eng.frontier.read(spark)
+    blocked_urls = {
+        r["url"] for r in fr.filter(F.col("status") == "robots_blocked").collect()
+    }
+    # nothing blocked at refresh time was fetched afterwards
+    trace_post = {r["url"] for r in eng.crawl_order(spark).collect()}
+    assert not (trace_post - trace_pre) & blocked_urls
+    # every unfetched hot-host URL ended robots_blocked
+    hot_unfetched = {
+        r["url"]
+        for r in fr.filter(
+            (F.col("host") == datagen.HOT_HOST) & (F.col("status") != "done")
+        ).collect()
+    }
+    assert hot_unfetched <= blocked_urls

@@ -1004,6 +1004,102 @@ class CrawlEngine:
         )
         return self.requeue(spark, stale)
 
+    def refresh_robots(self, spark: SparkSession, robots: DataFrame) -> dict:
+        """Swap the robots rules table mid-crawl and re-gate the unfetched
+        frontier (a multi-day crawl outlives its robots.txt snapshot; the
+        reference re-reads robots implicitly on every restart — here it is
+        an explicit quiesced maintenance op, like requeue).
+
+        Effects, all in ONE maintenance checkpoint:
+
+          * the robots table is overwritten (future batches pace with the
+            new ``crawl_delay_ms`` automatically — the batch path re-joins
+            robots every batch);
+          * ``robots_blocked`` rows whose URL the new rules ALLOW flip back
+            to pending (attempts preserved — they were gated, not failed);
+          * pending/failed rows the new rules DISALLOW flip to
+            ``robots_blocked`` (their retry state is superseded: a
+            disallowed URL must not be fetched however many retries it had
+            left);
+          * fetched rows (done / skipped_seen) and permanent tombstones are
+            untouched — rules govern future fetches, not history.
+
+        Frontier writes are per-bucket merges of only the affected priority
+        buckets (same machinery as requeue). The discovery plan's
+        ``pending_detail`` counter moves by unblocked − (pending→blocked).
+        Listing pages are NOT re-gated: the discovery plan treats listing
+        scans as site structure, gating only detail fetches (discover.py).
+        Quiesced single-writer contract, like all maintenance ops."""
+        ck = self.checkpoints.latest()
+        if ck is None:
+            raise RuntimeError("refresh_robots: no checkpoint — init() first")
+        v = dict(ck["versions"])
+        v["robots"] = self.robots.commit_overwrite(robots, origin="refresh_robots")
+
+        n_unblocked = n_blocked_pending = n_blocked_failed = 0
+        frontier = self.frontier.read(spark, int(v["frontier"]))
+        if frontier is not None:
+            cand = frontier.filter(
+                F.col("status").isin("pending", "failed", "robots_blocked")
+            )
+            ann = self._annotate_robots(cand, robots)
+            null_str = F.lit(None).cast("string")
+            null_ts = F.lit(None).cast("timestamp")
+            changed = ann.filter(
+                ((F.col("status") == "robots_blocked") & ~F.col("blocked"))
+                | (F.col("status").isin("pending", "failed") & F.col("blocked"))
+            )
+            updates_all = changed.select(
+                "url", "url_hash", "host", "image_id", "priority", "position",
+                F.when(F.col("blocked"), "robots_blocked")
+                .otherwise("pending")
+                .alias("status"),
+                "attempts",
+                F.when(F.col("blocked"), "robots").otherwise(null_str).alias("error_class"),
+                null_ts.alias("next_attempt_ts"),
+                F.col("status").alias("old_status"),
+            ).withColumn("bucket", _bucket(F.col("priority"))).localCheckpoint(eager=True)
+            counts = {
+                r["old_status"]: r["count"]
+                for r in updates_all.groupBy("old_status").count().collect()
+            }
+            n_unblocked = int(counts.get("robots_blocked", 0))
+            n_blocked_pending = int(counts.get("pending", 0))
+            n_blocked_failed = int(counts.get("failed", 0))
+            if n_unblocked + n_blocked_pending + n_blocked_failed > 0:
+                updates = updates_all.drop("old_status")
+                touched = [
+                    r["bucket"] for r in updates.select("bucket").distinct().collect()
+                ]
+                keys = updates.select("url_hash")
+                old = (
+                    self.frontier.read_buckets(spark, touched, int(v["frontier"]))
+                    .withColumn("bucket", _bucket(F.col("priority")))
+                    .join(F.broadcast(keys), "url_hash", "left_anti")
+                )
+                v["frontier"] = self.frontier.commit_merge_buckets(
+                    old.unionByName(updates), "bucket", touched,
+                    base_version=int(v["frontier"]), origin="refresh_robots",
+                )
+
+        state = {
+            **self._carry_state(ck),
+            "versions": v,
+            "next_seq": ck["next_seq"],
+            "logical_s": ck["logical_s"],
+            "seen_count": ck["seen_count"],
+        }
+        if "pending_detail" in ck:
+            state["pending_detail"] = (
+                int(ck["pending_detail"]) + n_unblocked - n_blocked_pending
+            )
+        self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
+        return {
+            "unblocked": n_unblocked,
+            "blocked_pending": n_blocked_pending,
+            "blocked_failed": n_blocked_failed,
+        }
+
     def regrow_filter(
         self, spark: SparkSession, capacity: int | None = None, growth: float = 4.0
     ) -> dict:
