@@ -210,3 +210,39 @@ def test_first_listing_page_failure_does_not_end_crawl(spark, tmp_path):
     ]
     lst = {r["page"]: r for r in disc.listing.read(spark).collect()}
     assert lst[1]["status"] == "done" and lst[1]["attempts"] == 3
+
+
+def test_refresh_robots_keeps_discovery_pending_counter(spark, tmp_path):
+    """refresh_robots on the discovery plan: pending rows gated out by the
+    tightened rules leave the checkpoint's pending_detail counter in the
+    same commit, and the crawl completes with the counter at 0 (a drifting
+    counter would end the crawl early or go permanently negative)."""
+    from pyspark.sql import functions as F
+
+    tmp_root = str(tmp_path)
+    robots, ppath, faults = _fixture(spark, tmp_root)
+    eng = DiscoveringCrawlEngine(
+        os.path.join(tmp_root, "rrd"), batch_size=BATCH, n_partitions=8, lookahead=2
+    )
+    eng.attach_store(ppath, faults)
+    eng.init_discovery(spark, N_PAGES, VPP, robots)
+    for _ in range(3):
+        eng.run_batch(spark)
+    pd0 = int(eng.checkpoints.latest()["pending_detail"])
+
+    tightened = datagen.gen_robots_pdf()
+    tightened.loc[
+        tightened["host"] == datagen.HOT_HOST, "disallow_prefixes"
+    ] = [["/video/"]]
+    new_robots = spark.createDataFrame(tightened, schema=schemas.ROBOTS_SCHEMA)
+    stats = eng.refresh_robots(spark, new_robots)
+    assert stats["blocked_pending"] > 0
+    assert (
+        int(eng.checkpoints.latest()["pending_detail"])
+        == pd0 + stats["unblocked"] - stats["blocked_pending"]
+    )
+
+    eng.run(spark, max_batches=200)
+    assert int(eng.checkpoints.latest()["pending_detail"]) == 0
+    fr = eng.frontier.read(spark)
+    assert fr.filter(F.col("status") == "pending").count() == 0
