@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "decontaminate",
     "dataset_split",
+    "pagerank",
+    "bigram_pmi",
+    "domain_mix",
 ]
 
 

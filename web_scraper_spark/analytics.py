@@ -1947,6 +1947,145 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", split.alias("split"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-priority PageRank over a link graph (operators/graph.py).
+
+    The frontier's priority column is link authority on a real corpus —
+    PageRank over the crawl's discovered link graph is how a production
+    frontier decides which of 10^10 URLs to fetch next (the reference's
+    descending-page order, main_scraper.py:547-614, is a degenerate
+    priority score).  The link graph here is synthesized deterministically
+    from doc_id so the oracle can rebuild it: each doc links to
+    ``(doc_id·31 + k·17) mod N`` for k ∈ 1..4 (self-links dropped; the
+    offsets are pairwise distinct mod N for the driver table sizes, and
+    any collision would be reproduced identically by the oracle anyway).
+
+    Scale: per round one join keyed on src + one groupBy-sum on dst —
+    Pregel-shape, no driver materialization; 8 fixed rounds so the result
+    is a pure function of the input (oracle = unrolled-CTE power method).
+    Floats: both engines run the identical arithmetic shape; only
+    summation order differs (≤ a few in-edges per node), so round(…, 8)
+    is far above the ~1e-15 sum-order noise."""
+    from .operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node_id"))
+    k = F.explode(F.array([F.lit(i) for i in (1, 2, 3, 4)])).alias("k")
+    edges = (
+        d.select(F.col("doc_id").alias("src"), k)
+        .select("src", ((F.col("src") * 31 + F.col("k") * 17) % n).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    pr = pagerank(nodes, edges, n_iter=8, damping=0.85)
+    return pr.select(
+        F.col("node_id").alias("doc_id"), F.round("pr", 8).alias("pagerank")
+    )
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI — the counting step of tokenizer
+    induction (a BPE merge round picks argmax pair count; collocation
+    mining ranks by pointwise mutual information instead).
+
+    Plan: one explode for unigram counts, one adjacent-pair zip
+    (``transform`` over a slice — no self-join to build bigrams) for pair
+    counts, then two broadcast joins of the pair table against the
+    unigram counts.  PMI = ln((c_xy/B) / ((c_x/T)·(c_y/T))) over integer
+    counts — bit-identical across engines (no float-sum order anywhere),
+    so ties in the top-k cut are broken exactly by (w1, w2).  Scale: the
+    aggregated pair table is O(vocab²)-bounded and heavily pre-combined
+    map-side; the final top-k window runs on that aggregate, not the
+    corpus (swap in two-level agg + TakeOrdered for a 10^8-type vocab)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count("*").alias("c"))
+    t_total = uni.count()
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    b_total = big.count()
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 5)
+    )
+    u1 = ucnt.select(F.col("word").alias("w1"), F.col("c").alias("w1_n"))
+    u2 = ucnt.select(F.col("word").alias("w2"), F.col("c").alias("w2_n"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_n") * 1.0 / F.lit(b_total))
+            / (
+                (F.col("w1_n") * 1.0 / F.lit(t_total))
+                * (F.col("w2_n") * 1.0 / F.lit(t_total))
+            )
+        ),
+        6,
+    )
+    scored = (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "pair_n", "w1_n", "w2_n", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return scored.withColumn("seq", F.row_number().over(w).cast("int")).filter(
+        F.col("seq") <= 20
+    )
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: downsample each source to hit a target
+    mixture (the data-curation step behind DoReMi-style domain weights —
+    pick proportions first, then sample each domain deterministically).
+
+    Target share of source ``srcK`` ∝ K+1 (normalized over the sources
+    present); the kept budget is half the corpus.  Per-source keep rate =
+    min(1, budget·share / n_src); a row survives iff the first 8 md5 hex
+    digits of a salted key fall under rate·16^8 — the same shuffle-free
+    hash-threshold rule as ``sample_hash_threshold`` (rerun-stable,
+    append-stable, engine-agnostic).  Plan: one tiny agg for per-source
+    counts (broadcast back), then a map-only filter — no shuffle touches
+    the corpus rows, so one giant domain costs nothing extra.  All rate
+    math is a single double division of exact integers; the threshold is
+    floored explicitly on both sides (Spark casts truncate, DuckDB casts
+    round — floor() pins them equal)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_src"))
+        .withColumn("w", F.substring("source", 4, 10).cast("long") + 1)
+    )
+    stats = counts.agg(
+        F.sum("w").alias("sum_w"), F.sum("n_src").alias("n_total")
+    )
+    rates = counts.crossJoin(stats).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("w") * F.floor(F.col("n_total") / 2)).cast("double")
+            / (F.col("sum_w") * F.col("n_src")).cast("double"),
+        ).alias("rate"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.floor(F.col("rate") * 4294967296.0).cast("long"))
+        .select("doc_id", "source", F.round("rate", 6).alias("keep_rate"))
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2006,6 +2145,9 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,
+    "pagerank": q_pagerank,
+    "bigram_pmi": q_bigram_pmi,
+    "domain_mix": q_domain_mix,
 }
 
 _JACCARD_ORACLE = """
@@ -2460,6 +2602,93 @@ SELECT doc_id, lang,
               THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+
+
+def _pagerank_oracle(n_iter: int = 8) -> str:
+    """Unrolled-CTE power method replaying q_pagerank exactly: same
+    synthetic edge formula, same arithmetic shape per round ((1.0-0.85)/n
+    teleport + 0.85·Σ pr/deg), one CTE per iteration."""
+    parts = [
+        """
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + k.k * 17) % nn.n AS dst
+  FROM documents d CROSS JOIN nn CROSS JOIN UNNEST([1, 2, 3, 4]) AS k(k)
+  WHERE (d.doc_id * 31 + k.k * 17) % nn.n <> d.doc_id
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT doc_id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+pr{i} AS (
+  SELECT nd.doc_id,
+         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.contrib, 0.0) AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(p.pr / dg.deg) AS contrib
+    FROM edges e
+    JOIN pr{i - 1} p ON p.doc_id = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.doc_id = nd.doc_id
+)"""
+        )
+    parts.append(f"\nSELECT doc_id, round(pr, 8) AS pagerank FROM pr{n_iter}")
+    return "".join(parts)
+
+
+ORACLES["pagerank"] = _pagerank_oracle()
+
+ORACLES["bigram_pmi"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT unnest(w) AS word FROM toks),
+ucnt AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+tot AS (SELECT count(*) AS t FROM uni),
+big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(w))) AS r(i)
+),
+btot AS (SELECT count(*) AS b FROM big),
+bcnt AS (
+  SELECT w1, w2, count(*) AS pair_n FROM big GROUP BY w1, w2
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT w1, w2, pair_n, u1.c AS w1_n, u2.c AS w2_n,
+         round(ln((pair_n * 1.0 / btot.b) /
+                  ((u1.c * 1.0 / tot.t) * (u2.c * 1.0 / tot.t))), 6) AS pmi
+  FROM bcnt
+  JOIN ucnt u1 ON u1.word = bcnt.w1
+  JOIN ucnt u2 ON u2.word = bcnt.w2
+  CROSS JOIN btot CROSS JOIN tot
+)
+SELECT w1, w2, pair_n, w1_n, w2_n, pmi, seq FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS seq
+  FROM scored
+) WHERE seq <= 20
+"""
+
+ORACLES["domain_mix"] = """
+WITH counts AS (
+  SELECT source, count(*) AS n_src,
+         CAST(substr(source, 4) AS BIGINT) + 1 AS w
+  FROM documents GROUP BY source
+),
+stats AS (SELECT SUM(w) AS sum_w, SUM(n_src) AS n_total FROM counts),
+rates AS (
+  SELECT source,
+         least(1.0, CAST(w * CAST(floor(n_total / 2) AS BIGINT) AS DOUBLE)
+                    / CAST(sum_w * n_src AS DOUBLE)) AS rate
+  FROM counts CROSS JOIN stats
+)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS keep_rate
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
 """
 
 

@@ -1,0 +1,83 @@
+"""PageRank over a link graph — crawl-priority scoring.
+
+The frontier engine schedules by a priority column (plans/crawl.py W2);
+on a real web corpus that priority IS link authority: PageRank over the
+crawl's discovered link graph is the canonical way to decide which of
+10^10 frontier URLs to fetch next (the reference hardcodes "page N
+descending", main_scraper.py:547-614 — a special case of a priority
+score).  This operator computes the score a production frontier would
+feed back into the schedule.
+
+Algorithm: fixed-iteration power method (teleport + damped neighbor
+mass).  Per round the plan is one join (ranks ⋈ edges on src) + one
+groupBy-sum on dst + one left join back onto the node set — every step
+keyed on node id, no full-graph materialization on the driver, lineage
+cut per round with ``localCheckpoint`` exactly like
+operators/clustering.py.  A fixed iteration count (not a convergence
+loop) keeps the result a pure deterministic function of the input so an
+external oracle can replay it.
+
+Scale shape at 10^10 edges: the per-round cost is two shuffles keyed on
+node id; pre-partitioning ``edges`` by src (and letting AQE reuse the
+exchange) amortizes the big side, and the rank table is O(nodes) —
+exactly the Pregel-style PageRank every large-graph system runs.
+Dangling mass: this variant expects every node to have out-degree ≥ 1
+(guaranteed by the synthetic graph in analytics.q_pagerank); nodes with
+no IN-links are fine (they keep the teleport share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    node_col: str = "node_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node_id, pr) after ``n_iter`` power-method rounds.
+
+    ``nodes`` must hold every vertex (one column ``node_col``); ``edges``
+    is the directed link set.  Every node must appear as a source in
+    ``edges`` (no dangling-mass redistribution — see module docstring).
+    Arithmetic shape is pinned (one division per edge, teleport added
+    after the damped sum) so an ANSI-SQL replay produces bit-equal
+    doubles up to summation order.
+    """
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    ed = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        F.col(node_col).alias("__node"), (F.lit(1.0) / n).alias("pr")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["__src"] == ranks["__node"])
+            .groupBy(F.col("__dst").alias("__node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            ranks.select("__node")
+            .join(contrib, "__node", "left")
+            .select(
+                "__node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("__node").alias(node_col), "pr")
