@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "pagerank",
     "bigram_pmi",
     "domain_mix",
+    "embedding_kmeans",
 ]
 
 

@@ -2086,6 +2086,77 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table (k=8, 3 fixed update
+    rounds, first-k-ids init) — the clustering step behind SemDeDup-style
+    curation (dedup/sample within embedding clusters) and clustered data
+    selection.
+
+    Determinism contract (what makes an external oracle possible): fixed
+    iteration count, deterministic init (vec_id < k), centroids rounded
+    to 6 dp after every update (pins the groupBy-avg's summation-order
+    noise, ~1e-15, well below the rounding grid), and assignment by
+    round(score, 6) with cluster id as the tiebreak.  The score is the
+    argmin-equivalent −2·x·c + c·c (the x·x term is constant per row);
+    the dot products are sequential JVM folds (zip_with + aggregate) so
+    both engines fold in the same order.
+
+    Scale: per round one broadcast cross join (n×k scored rows — k is
+    small), one window argmin keyed on vec_id, one (cluster, dim) avg —
+    nothing materializes on the driver, lineage cut per round.  At 10^9
+    vectors swap the fold for the BLAS-blocked pandas-UDF scorer in
+    operators/similarity.py (same argmin, Arrow-batched)."""
+    k, iters = 8, 3
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+
+    def assign(cents_df):
+        scored = e.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            F.round(
+                -2.0 * dot(F.col("embedding"), F.col("c"))
+                + dot(F.col("c"), F.col("c")),
+                6,
+            ).alias("score"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("score", "cluster")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cluster")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        cents = (
+            a.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    final = assign(cents)
+    sizes = final.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_n")
+    )
+    return final.join(sizes, "cluster").select("vec_id", "cluster", "cluster_n")
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2148,6 +2219,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "bigram_pmi": q_bigram_pmi,
     "domain_mix": q_domain_mix,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 _JACCARD_ORACLE = """
@@ -2690,6 +2762,56 @@ FROM documents d JOIN rates r ON r.source = d.source
 WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
       < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
 """
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's replaying q_embedding_kmeans: per round one
+    assign CTE (round(score,6) argmin, cluster tiebreak) and one update
+    CTE (per-dim avg rounded to 6 dp, re-listed in dim order)."""
+
+    def assign(j: int, src: str) -> str:
+        return f"""
+a{j} AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT m.vec_id, m.e, c.cluster,
+           row_number() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY round(-2.0 * list_dot_product(m.e, c.c)
+                            + list_dot_product(c.c, c.c), 6), c.cluster
+           ) AS rn
+    FROM emb m CROSS JOIN {src} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cluster, e AS c FROM emb WHERE vec_id < {k}),"""
+    ]
+    for j in range(iters):
+        parts.append(assign(j, f"c{j}") + ",")
+        parts.append(
+            f"""
+c{j + 1} AS (
+  SELECT cluster, list(m ORDER BY pos) AS c FROM (
+    SELECT cluster, pos, round(avg(e[pos]), 6) AS m
+    FROM a{j}, UNNEST(range(1, len(e) + 1)) AS r(pos)
+    GROUP BY cluster, pos
+  ) GROUP BY cluster
+),"""
+        )
+    parts.append(assign(iters, f"c{iters}"))
+    parts.append(
+        f"""
+SELECT a.vec_id, a.cluster, n.cluster_n
+FROM a{iters} a
+JOIN (SELECT cluster, count(*) AS cluster_n FROM a{iters} GROUP BY cluster) n
+  USING (cluster)"""
+    )
+    return "".join(parts)
+
+
+ORACLES["embedding_kmeans"] = _kmeans_oracle()
 
 
 def get_oracles() -> dict[str, str]:
