@@ -113,10 +113,30 @@ def test_image_shard_pack_window_is_block_partitioned(spark):
     assert "SortMergeJoin" not in plan, f"offsets join shuffled:\n{plan}"
 
 
-#: bounded-by-construction exceptions: tfidf_topk cross-joins a ONE-ROW
-#: broadcast aggregate (the corpus doc count) — a scalar attach, not a
-#: cartesian blow-up
-CROSS_JOIN_OK = {"tfidf_topk"}
+#: bounded-by-construction exceptions: tfidf_topk and domain_mix
+#: cross-join a ONE-ROW broadcast aggregate (scalar attach, not a
+#: cartesian blow-up); embedding_kmeans cross-joins the k-row (k=8)
+#: broadcast centroid table — the standard scored-assignment shape
+CROSS_JOIN_OK = {"tfidf_topk", "domain_mix", "embedding_kmeans"}
+
+
+def test_bigram_pmi_broadcasts_unigram_counts(spark):
+    # the pair table joins the unigram counts twice — both must broadcast
+    # (vocab-sized sides); an SMJ here re-shuffles the pair aggregate
+    plan = _plan(spark, "bigram_pmi")
+    assert plan.count("BroadcastHashJoin") >= 2, f"unigram joins shuffled:\n{plan}"
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_domain_mix_corpus_side_is_map_only(spark):
+    # per-source rates broadcast back onto the corpus: the documents scan
+    # must reach the filter through a BroadcastHashJoin — a shuffle of the
+    # corpus would defeat the query's one-giant-domain-costs-nothing claim
+    plan = _plan(spark, "domain_mix")
+    assert "BroadcastHashJoin" in plan, f"rates join not broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"corpus side shuffled:\n{plan}"
+    assert "EvalPython" not in plan
 
 
 def test_no_cartesian_products_anywhere(spark):
