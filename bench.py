@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "domain_mix",
     "embedding_kmeans",
+    "unigram_logprob",
+    "outlier_mad",
 ]
 
 

@@ -2157,6 +2157,70 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.join(sizes, "cluster").select("vec_id", "cluster", "cluster_n")
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram LM score — the CCNet-style perplexity proxy
+    (average token log-probability under the corpus's own unigram MLE):
+    low-scoring docs are gibberish / rare-token soup, the classic
+    language-model quality filter for training corpora.
+
+    Plan: one explode for the token stream, a vocabulary-sized count agg
+    broadcast back onto the stream, one groupBy(doc_id) avg — the corpus
+    rows shuffle once (on doc_id), the vocabulary joins map-side.
+    Floats: ln(c/T) per token is bit-identical across engines; only the
+    per-doc avg's summation order differs (~1e-16·n noise on O(1)-scale
+    values), so round(…, 6) is far above it."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    ucnt = tok.groupBy("word").agg(F.count("*").alias("c"))
+    t_total = tok.count()
+    return (
+        tok.join(F.broadcast(ucnt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c") * 1.0 / F.lit(t_total))), 6
+            ).alias("lm_score"),
+        )
+    )
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: flag events whose value sits
+    more than 3 median-absolute-deviations from the user's median — the
+    quantile-based cleaning rule (MAD, not stddev) that survives the
+    heavy-tailed distributions training telemetry actually has.
+
+    Two exact grouped percentiles (median of value, then median of the
+    absolute deviations) joined back onto the rows; the comparison
+    ``dev > 3·mad`` is deterministic because exact interpolated
+    percentiles involve no summation order (sort + linear interpolation,
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont``).  Scale: both aggs
+    and both joins key on user_id — one partitioning serves all four
+    steps; per-group exact medians sort within groups (fine at per-user
+    cardinality; corpus-scale switches to approx_percentile with
+    rank-error verification, as q_brand_price_quantiles documents)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter(F.col("dev") > 3.0 * F.col("mad"))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round("dev", 6).alias("dev"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2220,6 +2284,8 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "domain_mix": q_domain_mix,
     "embedding_kmeans": q_embedding_kmeans,
+    "unigram_logprob": q_unigram_logprob,
+    "outlier_mad": q_outlier_mad,
 }
 
 _JACCARD_ORACLE = """
@@ -2812,6 +2878,33 @@ JOIN (SELECT cluster, count(*) AS cluster_n FROM a{iters} GROUP BY cluster) n
 
 
 ORACLES["embedding_kmeans"] = _kmeans_oracle()
+
+ORACLES["unigram_logprob"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+ucnt AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+tot AS (SELECT count(*) AS t FROM tok)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c * 1.0 / tot.t)), 6) AS lm_score
+FROM tok JOIN ucnt USING (word) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+ORACLES["outlier_mad"] = """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.event_id, e.user_id, e.value, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (user_id)
+),
+mad AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY user_id)
+SELECT d.event_id, d.user_id, d.value, round(d.dev, 6) AS dev,
+       round(m.mad, 6) AS mad
+FROM dev d JOIN mad m USING (user_id)
+WHERE d.dev > 3.0 * m.mad
+"""
 
 
 def get_oracles() -> dict[str, str]:
