@@ -60,3 +60,43 @@ def test_pagerank_mass_conserved(spark):
         .collect()[0]["s"]
     )
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_site_graph_from_pagerank_feeds_engine_init(spark, tmp_path):
+    """Link authority drives the frontier: PageRank over a URL graph,
+    quantized onto the priority axis, runs through the unmodified engine
+    and schedules the most-linked URL first."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators.graph import site_graph_from_pagerank
+    from web_scraper_spark.plans.crawl import CrawlEngine
+
+    n = 10
+    urls = [(i, f"https://g.example.test/video/{i:04d}/") for i in range(n)]
+    # star-ish graph: everyone links to node 0, plus a ring for out-degree
+    edges = [(i, 0) for i in range(1, n)] + [(i, (i + 1) % n) for i in range(n)]
+    edges = sorted(set(e for e in edges if e[0] != e[1]))
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    pr = pagerank(nodes, edf, n_iter=8)
+    ranked = pr.join(
+        spark.createDataFrame(urls, "node_id long, url string"), "node_id"
+    ).select("url", "pr")
+
+    site = site_graph_from_pagerank(ranked, scale=100)
+    rows = {r["url"]: r for r in site.collect()}
+    assert rows[urls[0][1]]["image_id"] == "0000"
+    # quantization matches the numpy reference
+    want = _numpy_pagerank(n, edges, n_iter=8)
+    for i, u in urls:
+        assert rows[u]["page"] == round(want[i] * n * 100)
+    # the hub out-ranks every spoke
+    assert rows[urls[0][1]]["page"] > max(rows[u]["page"] for _, u in urls[1:])
+
+    eng = CrawlEngine(str(tmp_path / "prg"), batch_size=5, n_partitions=4)
+    eng.init(site)
+    fr = eng.frontier.read(spark)
+    assert fr.count() == n
+    top = fr.orderBy(F.col("priority").desc()).first()
+    assert top["image_id"] == "0000"

@@ -81,3 +81,28 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("__node").alias(node_col), "pr")
+
+
+def site_graph_from_pagerank(ranked: DataFrame, scale: int = 100) -> DataFrame:
+    """(url, pr) rows → the site-graph shape ``CrawlEngine.init`` consumes
+    (url, image_id, page, position): link authority becomes crawl
+    priority, replacing the reference's hardcoded descending page order
+    (main_scraper.py:547-614) with the score a production frontier uses.
+
+    ``page`` = round(pr · n · scale): normalizing by node count puts the
+    mean score at ``scale`` whatever the graph size, so the integer
+    priority axis keeps resolution as the corpus grows.  Quantization —
+    not a rank — on purpose: a rank-order priority needs a 10^10-row
+    total sort; the quantized score needs one bounded count.
+    ``position`` = 0: within equal priority the engine's crawl order
+    falls through to url_hash ASC, which stays deterministic (same rule
+    as functions/sitemap.site_graph_from_seeds)."""
+    from ..functions.urlnorm import extract_item_id
+
+    n = ranked.count()
+    return ranked.select(
+        "url",
+        extract_item_id(F.col("url")).alias("image_id"),
+        F.round(F.col("pr") * n * scale).cast("int").alias("page"),
+        F.lit(0).alias("position"),
+    )
