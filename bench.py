@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "unigram_logprob",
     "outlier_mad",
+    "repetition_stats",
+    "trap_detection",
 ]
 
 

@@ -32,6 +32,7 @@ SCAN_ONLY = [
     "quality_filter",
     "pii_scrub",
     "validators",
+    "repetition_stats",
 ]
 
 #: one-shuffle queries: the docstrings promise a single exchange (window
@@ -137,6 +138,16 @@ def test_domain_mix_corpus_side_is_map_only(spark):
     assert "BroadcastHashJoin" in plan, f"rates join not broadcast:\n{plan}"
     assert "SortMergeJoin" not in plan, f"corpus side shuffled:\n{plan}"
     assert "EvalPython" not in plan
+
+
+def test_trap_detection_is_two_phase_distinct_agg(spark):
+    # countDistinct plans as the canonical two-exchange distinct aggregate
+    # (partial on (host, pattern, url), then merge on (host, pattern));
+    # a third exchange or a Python fallback would break the scale claim
+    plan = _plan(spark, "trap_detection")
+    assert plan.count("Exchange") == 2, plan
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on both phases
 
 
 def test_no_cartesian_products_anywhere(spark):

@@ -2221,6 +2221,87 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    duplicate-token fraction and top-bigram fraction per document, with a
+    ``repetitive`` flag — the standard pretraining-corpus screens for
+    boilerplate and degenerate repetition.
+
+    Zero-shuffle by construction: bigrams are built with zip_with over two
+    slices of the token array, and the top-bigram count is the longest run
+    in the SORTED bigram array, computed with an ``aggregate`` fold —
+    per-row column expressions only, so the plan is a single scan at any
+    corpus size (the explode+groupBy formulation would shuffle every
+    bigram occurrence; the fold keeps it embarrassingly parallel)."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    toks = F.col("toks")
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_n = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        _run_step,
+        lambda acc: acc["best"],
+    )
+    dup_frac = F.lit(1.0) - n_uniq * F.lit(1.0) / n
+    top_frac = top_n * F.lit(1.0) / (n - 1)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_distinct"),
+        top_n.alias("top_bigram_n"),
+        F.round(dup_frac, 4).alias("dup_token_frac"),
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        ((dup_frac > 0.6) | (top_frac > 0.1)).alias("repetitive"),
+    )
+
+
+def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection by URL-pattern collapse: normalize digit runs
+    in each URL to 'N' and count distinct URLs per (host, pattern) — a
+    pattern whose distinct-URL count explodes is a calendar/session-id
+    trap the frontier should cap (the per-host URL-space heuristic real
+    crawlers apply before a trap eats the politeness budget; complements
+    the reference's one-page-at-a-time bound, scrape_orchestrator.py).
+
+    URLs are synthesized deterministically from events (user_id → host,
+    click/view rows carry an unbounded numeric id path — the trap shape).
+    Scale: one groupBy on (host, pattern) with map-side partial counts;
+    the digit-collapse regexp runs JVM-side in the scan."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("/"),
+        F.col("event_type"),
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.concat(F.lit("/"), F.col("event_id").cast("string")),
+        ).otherwise(F.lit("/page")),
+    )
+    host = F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+    return (
+        ev.select(host.alias("host"), url.alias("url"))
+        .withColumn("url_pattern", F.regexp_replace("url", "[0-9]+", "N"))
+        .groupBy("host", "url_pattern")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.count("*").alias("n_hits"),
+        )
+        .withColumn("trap", F.col("n_urls") >= 50)
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2286,6 +2367,8 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "unigram_logprob": q_unigram_logprob,
     "outlier_mad": q_outlier_mad,
+    "repetition_stats": q_repetition_stats,
+    "trap_detection": q_trap_detection,
 }
 
 _JACCARD_ORACLE = """
@@ -2889,6 +2972,38 @@ SELECT doc_id, count(*) AS n_tokens,
        round(avg(ln(c * 1.0 / tot.t)), 6) AS lm_score
 FROM tok JOIN ucnt USING (word) CROSS JOIN tot
 GROUP BY doc_id
+"""
+
+ORACLES["repetition_stats"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+  FROM t
+),
+e AS (SELECT doc_id, unnest(bgs) AS bg FROM s),
+c AS (SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY doc_id, bg),
+m AS (SELECT doc_id, CAST(max(cnt) AS INT) AS top_bigram_n FROM c GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens, s.n_distinct, m.top_bigram_n,
+       round(1.0 - s.n_distinct * 1.0 / s.n_tokens, 4) AS dup_token_frac,
+       round(m.top_bigram_n * 1.0 / (s.n_tokens - 1), 4) AS top_bigram_frac,
+       (1.0 - s.n_distinct * 1.0 / s.n_tokens) > 0.6
+         OR m.top_bigram_n * 1.0 / (s.n_tokens - 1) > 0.1 AS repetitive
+FROM s JOIN m USING (doc_id)
+"""
+
+ORACLES["trap_detection"] = """
+WITH u AS (
+  SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+         '/' || event_type || CASE WHEN event_type IN ('click', 'view')
+           THEN '/' || CAST(event_id AS VARCHAR) ELSE '/page' END AS url
+  FROM events
+)
+SELECT host, regexp_replace(url, '[0-9]+', 'N', 'g') AS url_pattern,
+       count(DISTINCT url) AS n_urls, count(*) AS n_hits,
+       count(DISTINCT url) >= 50 AS trap
+FROM u GROUP BY host, regexp_replace(url, '[0-9]+', 'N', 'g')
 """
 
 ORACLES["outlier_mad"] = """
