@@ -134,6 +134,29 @@ def test_payload_out_validated_rows_only(spark, crawl):
     assert out.filter(F.col("phash").isNull()).count() == 0
 
 
+def test_payload_matches_origin_row_for_row(spark, crawl):
+    """North-star per-row invariant (BASELINE.json input_hint): every
+    fetched payload row equals its origin row — caption STRING EQUALITY
+    and phash-over-decoded-pixels equality (the decoded-pixel allclose /
+    PSNR>=40dB check ran in fetch_and_validate; a pixel drift beyond it
+    would flip the phash compared here)."""
+    eng, _, _ = crawl
+    out = eng.payload_out.read(spark).select("image_id", "caption", "phash")
+    origin = spark.read.parquet(eng._payload_path).select(
+        "image_id",
+        F.col("caption").alias("o_caption"),
+        F.col("phash").alias("o_phash"),
+    )
+    joined = out.join(origin, "image_id", "left")
+    n = joined.count()
+    assert n == out.count()
+    assert joined.filter(F.col("o_caption").isNull()).count() == 0
+    mism = joined.filter(
+        (F.col("caption") != F.col("o_caption")) | (F.col("phash") != F.col("o_phash"))
+    )
+    assert mism.count() == 0, mism.limit(5).collect()
+
+
 def test_metrics_present(spark, crawl):
     eng, _, _ = crawl
     m = eng.metrics(spark)
