@@ -461,3 +461,95 @@ def test_recrawl_stale_horizon_forms(spark, tmp_path):
     stats = eng.recrawl_stale(spark, older_than_seq=5)
     assert stats["seen_removed"] == expected
     assert eng.seen_set(spark).count() == n0 - expected
+
+
+# ----------------------------------------------------------- CDC reads
+
+
+def test_read_changes_append_delta(spark, tmp_root):
+    """read_changes returns exactly the rows of the groups appended in
+    (from, to] — the manifest-diff incremental scan."""
+    t = SnapshotTable(tmp_root, "log")
+    v1 = t.commit_append(_df(spark, 0, 10))
+    v2 = t.commit_append(_df(spark, 10, 15))
+    v3 = t.commit_append(_df(spark, 15, 18))
+    got = sorted(r["k"] for r in t.read_changes(spark, v1, v3).collect())
+    assert got == list(range(10, 18))
+    assert sorted(r["k"] for r in t.read_changes(spark, v2, v3).collect()) == [15, 16, 17]
+    assert t.read_changes(spark, v3, v3) is None
+    # from version 0 (empty table) the delta is the full log
+    assert t.read_changes(spark, 0, v3).count() == 18
+
+
+def test_read_changes_rejects_rewrite(spark, tmp_root):
+    """Across a compaction the path diff is not an append stream — the
+    cursor must be restarted, so read_changes refuses."""
+    t = SnapshotTable(tmp_root, "log")
+    v1 = t.commit_append(_df(spark, 0, 10))
+    t.commit_append(_df(spark, 10, 15))
+    v3 = t.compact(spark)
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_changes(spark, v1, v3)
+    # but a post-compaction cursor works again
+    v4 = t.commit_append(_df(spark, 15, 20))
+    assert sorted(r["k"] for r in t.read_changes(spark, v3, v4).collect()) == list(
+        range(15, 20)
+    )
+
+
+def test_engine_changes_between_checkpoints(spark, tmp_path):
+    """Engine-level CDC: the per-table delta between two checkpoints is
+    exactly the batch's committed rows (checkpoint-consistent cut), and a
+    maintenance rewrite in between makes the feed refuse."""
+    from tests.test_crawl_e2e import BATCH, _fixture
+    from web_scraper_spark.plans.crawl import CrawlEngine
+
+    tmp_root = str(tmp_path)
+    site, robots_df, ppath, faults = _fixture(spark, tmp_root, with_faults=False)
+    eng = CrawlEngine(os.path.join(tmp_root, "cdc"), batch_size=BATCH, n_partitions=8)
+    eng.attach_store(ppath, faults)
+    eng.init(site, robots_df)
+    eng.run_batch(spark)
+    eng.run_batch(spark)
+    eng.run_batch(spark)
+    cks = eng.checkpoints.all()
+    b0, b1, b2 = (ck["batch_id"] for ck in cks[-3:])
+
+    for table in ("seen", "payload_out", "schedule_log"):
+        t = getattr(eng, table)
+        v_from = int(eng.checkpoints.get(b1)["versions"][table])
+        v_to = int(eng.checkpoints.get(b2)["versions"][table])
+        full_from = t.read(spark, v_from)
+        full_to = t.read(spark, v_to)
+        n_from = 0 if full_from is None else full_from.count()
+        delta = eng.changes_between(spark, table, b1, b2)
+        n_delta = 0 if delta is None else delta.count()
+        assert n_delta == full_to.count() - n_from, table
+        if delta is not None:
+            cols = delta.columns
+            a = {tuple(r) for r in delta.collect()}
+            b = {tuple(r) for r in full_to.select(cols).collect()} - (
+                {tuple(r) for r in full_from.select(cols).collect()}
+                if full_from is not None
+                else set()
+            )
+            assert a == b, table
+
+    # spanning two batches accumulates both deltas
+    d01 = eng.changes_between(spark, "seen", b0)
+    d12 = eng.changes_between(spark, "seen", b1, b2)
+    d02 = eng.changes_between(spark, "seen", b0, b2)
+    assert d02.count() == (d01.count() if d01 is not None else 0)
+    assert d02.count() >= (d12.count() if d12 is not None else 0)
+
+    # unknown checkpoint / non-table name
+    with pytest.raises(RuntimeError):
+        eng.changes_between(spark, "seen", 10_000)
+    with pytest.raises(ValueError):
+        eng.changes_between(spark, "not_a_table", b1)
+
+    # maintenance rewrite between the cursors → refuse
+    eng.compact_state(spark)
+    last = eng.checkpoints.latest()["batch_id"]
+    with pytest.raises(ValueError, match="non-append"):
+        eng.changes_between(spark, "seen", b1, last)

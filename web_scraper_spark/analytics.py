@@ -2302,6 +2302,165 @@ def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_range_join bucket/interval width: 37 minutes in microseconds. The
+#: bucket width EQUALS the interval length, so every interval overlaps at
+#: most 2 buckets and the candidate blow-up is bounded at 2× rows.
+_RANGE_W_US = 37 * 60 * 1_000_000
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: every 199th event anchors a 37-minute window
+    [ts, ts+37min); count and sum ALL events falling inside each window.
+    The generic form of "events within a maintenance/promo window" — the
+    range-predicate join Spark has no native operator for (the documented
+    companion to q_asof_join's point-in-time lookup).
+
+    Scale shape (bucketed range join): both sides are keyed by
+    floor(ts/W) time buckets with W = the interval length, so each
+    interval covers ≤ 2 buckets (explode ≤ 2 rows) and the join becomes
+    an EQUI-join on bucket + residual range filter — SMJ/shuffle-hash on
+    a shuffle key, AQE-handled skew, candidates bounded by per-bucket
+    co-residency. The naive form is a pure theta join = BroadcastNestedLoop
+    O(n·m); the bucketed form is O(n + m + matches·2). Buckets are
+    internal (derived identically for both sides from the same µs value),
+    so output semantics are exactly the range predicate, which is what
+    the oracle replays with a plain inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # UTC session
+    e = ev.select(
+        F.col("value").alias("v"),
+        us.alias("us"),
+        F.expr(f"unix_micros(cast(ts as timestamp_ltz)) div {_RANGE_W_US}").alias("bucket"),
+    )
+    iv = (
+        ev.filter(F.col("event_id") % 199 == 0)
+        .select(F.col("event_id").alias("window_id"), us.alias("start_us"))
+        .withColumn("end_us", F.col("start_us") + F.lit(_RANGE_W_US))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_us div {_RANGE_W_US}"),
+                    F.expr(f"(end_us - 1) div {_RANGE_W_US}"),
+                )
+            ),
+        )
+    )
+    return (
+        iv.join(e, "bucket")
+        .filter((F.col("us") >= F.col("start_us")) & (F.col("us") < F.col("end_us")))
+        .groupBy("window_id")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.round(F.sum("v"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embedding table (operators/
+    similarity.semdedup_prune): nearest-of-8 seeded-centroid cell
+    assignment, within-cell pairwise cosine, prune when a lower-id
+    cell-mate is ≥ 0.45 similar. The curation step between clustering
+    (q_embedding_kmeans) and near-dup pairs (q_dedup_embedding_cosine):
+    cells bound the quadratic so it scales where all-pairs cannot.
+
+    Deterministic end-to-end (seeded centroids, argmax tie → higher cell,
+    cosine rounded to 6 dp before the threshold), so the DuckDB oracle
+    replays cell assignment AND the prune decision value-for-value with
+    the centroids embedded as SQL literals."""
+    from .operators.similarity import semdedup_prune
+
+    return semdedup_prune(_t(spark, sf_dir, "embeddings"), dim=64, tau=0.45)
+
+
+#: HLL register count (2^4) and the rho cap that keeps the harmonic-mean
+#: denominator EXACT: registers hold rho ≤ 40, so Σ 2^(40−M_j) is integer
+#: arithmetic (≤ 16·2^40 ≪ 2^63) and the only float op is one division —
+#: bit-identical in any engine, no summation-order noise.
+_HLL_M = 16
+_HLL_RHO_CAP = 40
+_HLL_NUM = repr(0.673 * _HLL_M * _HLL_M * float(2**_HLL_RHO_CAP))
+#: 4-bit value → 4-char binary string lookup table ('0000'…'1111').
+_NIB_BIN = "".join(format(v, "04b") for v in range(16))
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, next to the
+    exact count — the sketch every 100 TB frontier needs for "distinct
+    URLs per host" style cardinality without a distinct shuffle.
+
+    Built from scratch on md5 so BOTH engines replay it bit-for-bit
+    (Spark's approx_count_distinct and DuckDB's approx_distinct use
+    different private hashes — useless for a value-level gate): bucket =
+    first hash nibble (m=16 registers), rho = 1 + leading zeros of the
+    next 60 bits (nibbles → binary-string lookup, instr for the first
+    '1'), register = max rho capped at 40. The harmonic denominator is
+    the INTEGER Σ 2^(40−M_j) (exact — no float summation-order hazard),
+    the estimate one float division, with the standard linear-counting
+    branch below 2.5m when empty registers remain (exercised at
+    sf0.001's 15 users; the raw branch at sf0.01's 150).
+
+    Scale: partial-aggregating groupBy on (type, bucket) — map-side
+    combine reduces every partition to ≤ groups·16 register rows, vs the
+    full repartition a count(DISTINCT) needs. The exact count alongside
+    is the sandbox-scale verification twin."""
+    ev = _t(spark, sf_dir, "events")
+    hx = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
+    )
+
+    def _nib(j: int) -> F.Column:
+        ch = F.substring("hx", j + 1, 1)
+        return F.when(ch >= "a", F.ascii(ch) - 87).otherwise(F.ascii(ch) - 48)
+
+    bits = F.concat(
+        *[F.substr(F.lit(_NIB_BIN), _nib(j) * 4 + 1, F.lit(4)) for j in range(1, 16)]
+    )
+    pos = F.instr(bits, "1")
+    rho = F.least(F.when(pos == 0, 61).otherwise(pos), F.lit(_HLL_RHO_CAP))
+    reg = (
+        hx.select("event_type", _nib(0).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket"))))
+    )
+    full = grid.join(reg, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("m_reg", F.lit(0)).alias("m_reg")
+    )
+    est = full.groupBy("event_type").agg(
+        (
+            F.lit(float(_HLL_NUM))
+            / F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_CAP} - m_reg)"))
+        ).alias("raw"),
+        F.sum(F.when(F.col("m_reg") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    m = float(_HLL_M)
+    corrected = F.when(
+        (F.col("raw") <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(m) * F.log(F.lit(m) / F.col("v_zero")),
+    ).otherwise(F.col("raw"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("int").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(corrected, 4).alias("hll_est"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round((F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4),
+        )
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2369,6 +2528,9 @@ QUERIES = {
     "outlier_mad": q_outlier_mad,
     "repetition_stats": q_repetition_stats,
     "trap_detection": q_trap_detection,
+    "range_join": q_range_join,
+    "semdedup_prune": q_semdedup_prune,
+    "hll_distinct": q_hll_distinct,
 }
 
 _JACCARD_ORACLE = """
@@ -3020,6 +3182,130 @@ SELECT d.event_id, d.user_id, d.value, round(d.dev, 6) AS dev,
 FROM dev d JOIN mad m USING (user_id)
 WHERE d.dev > 3.0 * m.mad
 """
+
+
+ORACLES["range_join"] = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS start_ts, ts + INTERVAL 37 MINUTES AS end_ts
+  FROM events WHERE event_id % 199 = 0
+)
+SELECT w.window_id, CAST(count(*) AS INT) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM w JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY w.window_id
+"""
+
+
+def _semdedup_oracle_sql(
+    dim: int = 64, n_cells: int = 8, tau: float = 0.45, seed: int = 7
+) -> str:
+    """DuckDB replay of q_semdedup_prune: seeded centroids as double
+    literals, cell = argmax dot (dot DESC, cell DESC tie-break mirrors
+    Spark's array_max), within-cell lower-id prune at round(cos,6) >= tau.
+    Must stay in lockstep with operators/similarity.semdedup_prune."""
+    from .operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    score_selects = []
+    for i, c in enumerate(cents):
+        arr = ", ".join(repr(float(x)) for x in c)
+        score_selects.append(
+            f"SELECT vec_id, {i} AS cell, list_dot_product(v, [{arr}]) AS dot FROM e"
+        )
+    scores = "\n  UNION ALL ".join(score_selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (
+  {scores}
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
+  FROM sc
+),
+assign AS (SELECT vec_id, CAST(cell AS INT) AS cell FROM ranked WHERE rk = 1),
+nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM e),
+pruned AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  WHERE round(list_dot_product(ea.v, eb.v) / (na.n * nb.n), 6) >= {tau}
+)
+SELECT a.vec_id, a.cell, (p.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+"""
+
+
+ORACLES["semdedup_prune"] = _semdedup_oracle_sql()
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB replay of q_hll_distinct, generated from the same constants
+    (m=16, rho cap 40, nibble→binary lookup) so the register contents, the
+    integer harmonic denominator, and both correction branches match
+    bit-for-bit."""
+
+    def nib(p: int) -> str:
+        s = f"substr(hx, {p}, 1)"
+        return f"(CASE WHEN {s} >= 'a' THEN ascii({s}) - 87 ELSE ascii({s}) - 48 END)"
+
+    bits = " || ".join(
+        f"substr('{_NIB_BIN}', {nib(j + 1)} * 4 + 1, 4)" for j in range(1, 16)
+    )
+    return f"""
+WITH hx AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+nb AS (
+  SELECT event_type, {nib(1)} AS bucket, ({bits}) AS bits FROM hx
+),
+rb AS (
+  SELECT event_type, bucket,
+         least(CASE WHEN strpos(bits, '1') = 0 THEN 61 ELSE strpos(bits, '1') END,
+               {_HLL_RHO_CAP}) AS rho
+  FROM nb
+),
+reg AS (
+  SELECT event_type, bucket, max(rho) AS m_reg FROM rb GROUP BY event_type, bucket
+),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT CAST(range AS INT) AS bucket FROM range({_HLL_M})) g
+),
+filled AS (
+  SELECT grid.event_type, grid.bucket, coalesce(reg.m_reg, 0) AS m_reg
+  FROM grid LEFT JOIN reg
+    ON grid.event_type = reg.event_type AND grid.bucket = reg.bucket
+),
+est AS (
+  SELECT event_type,
+         {_HLL_NUM} / sum((1::BIGINT) << ({_HLL_RHO_CAP} - m_reg)) AS raw,
+         sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS v_zero
+  FROM filled GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS INT) AS n_exact
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT est.event_type, ex.n_exact,
+         round(CASE WHEN raw <= {2.5 * _HLL_M} AND v_zero > 0
+                    THEN {float(_HLL_M)} * ln({float(_HLL_M)} / v_zero)
+                    ELSE raw END, 4) AS hll_est
+  FROM est JOIN ex ON est.event_type = ex.event_type
+)
+SELECT event_type, n_exact, hll_est,
+       round((hll_est - n_exact) / n_exact, 4) AS rel_err
+FROM c
+"""
+
+
+ORACLES["hll_distinct"] = _hll_oracle_sql()
 
 
 def get_oracles() -> dict[str, str]:

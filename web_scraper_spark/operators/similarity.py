@@ -209,6 +209,55 @@ def ivf_topk(
     )
 
 
+def semdedup_prune(
+    corpus: DataFrame,
+    dim: int,
+    tau: float = 0.45,
+    n_cells: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest coarse cell, compute pairwise cosine only
+    WITHIN each cell, and prune a vector when a lower-id cell-mate sits
+    above the ``tau`` similarity threshold (greedy keep-first — the
+    published method's "keep one random member per semantic-duplicate
+    group" with the deterministic id order standing in for random).
+
+    Returns one row per corpus vector: (vec_id, cell, kept).
+
+    Scale shape: the quadratic never leaves a cell — candidates per
+    vector are |cell| not n, and in production n_cells is sized so cells
+    stay bounded (SemDeDup uses ~10^5 k-means clusters for ~10^8 docs);
+    the self-join is an equi-join on ``cell`` so it shuffles once and
+    SMJ/AQE handle skewed cells. The per-pair dot is the sequential
+    zip_with fold (oracle-identical); at corpus scale swap in the
+    BLAS-blocked scorer (cosine_pairs_blocked) per cell partition —
+    same argmin/threshold semantics, Arrow-batched."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    c = (
+        corpus.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e"))
+        .withColumn("n", _norm(F.col("e")))
+        .withColumn("cell", F.array_max(_cell_scores(F.col("e"), cents)).getField("cell"))
+    )
+    a = c.select("cell", F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), F.col("n").alias("an"))
+    b = c.select("cell", F.col("vec_id").alias("b_id"), F.col("e").alias("be"), F.col("n").alias("bn"))
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("a_id"))
+        # round BEFORE the threshold compare so the keep/prune boundary is
+        # bit-identical to the SQL oracle's round(...) >= tau
+        .filter(F.round(_dot("ae", "be") / (F.col("an") * F.col("bn")), 6) >= tau)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return c.join(pruned, "vec_id", "left").select(
+        "vec_id", "cell", F.coalesce(~F.col("pruned"), F.lit(True)).alias("kept")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

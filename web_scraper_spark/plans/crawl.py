@@ -1357,6 +1357,42 @@ class CrawlEngine:
             "table string, version int, path string, bucket int, origin string",
         )
 
+    def changes_between(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_batch: int,
+        to_batch: int | None = None,
+    ) -> DataFrame | None:
+        """CDC feed for downstream incremental consumers (a training
+        pipeline tailing payload_out, a metrics job tailing schedule_log):
+        the rows appended to ``table`` between the checkpoint of
+        ``from_batch`` (exclusive) and ``to_batch`` (inclusive; default
+        the latest checkpoint). Checkpoint versions bound the diff, so
+        the delta is the same mutually-consistent cut the engine
+        committed — never a mid-batch orphan. Metadata-only group diff
+        (SnapshotTable.read_changes): reads O(delta) file groups.
+
+        Raises ValueError across a maintenance rewrite (compact/requeue)
+        — the consumer restarts its cursor from a full read, Iceberg
+        changelog-scan style."""
+        ck_from = self.checkpoints.get(from_batch)
+        ck_to = (
+            self.checkpoints.latest() if to_batch is None else self.checkpoints.get(to_batch)
+        )
+        if ck_from is None or ck_to is None:
+            raise RuntimeError("changes_between: no checkpoint for the given batch id")
+        t = getattr(self, table, None)
+        if (
+            not isinstance(t, SnapshotTable)
+            or table not in ck_from["versions"]
+            or table not in ck_to["versions"]
+        ):
+            raise ValueError(f"changes_between: {table!r} is not a checkpointed state table")
+        return t.read_changes(
+            spark, int(ck_from["versions"][table]), int(ck_to["versions"][table])
+        )
+
     def audit_payload(
         self,
         spark: SparkSession,

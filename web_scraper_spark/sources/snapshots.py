@@ -339,6 +339,35 @@ class SnapshotTable:
             return None
         return self._read_paths(spark, paths)
 
+    def read_changes(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame | None:
+        """Incremental (CDC-style) read: the rows of file groups added
+        AFTER ``from_version`` up to and including ``to_version`` — the
+        append delta, resolved from manifests alone (Iceberg's incremental
+        scan). A downstream consumer tailing payload_out reads each
+        batch's new rows at O(delta), never rescanning the log.
+
+        Contract: valid only across an append-only span. If any group
+        live at ``from_version`` is gone at ``to_version`` (compaction,
+        overwrite, requeue rewrote the table), the path diff is no longer
+        a row-level append stream — raises ValueError; consumers restart
+        their cursor from a fresh full read after maintenance, exactly
+        like Iceberg's changelog scan across a rewrite."""
+        old = {e["path"] for e in self._manifest(from_version)["entries"]}
+        new_entries = self._manifest(to_version)["entries"]
+        missing = old - {e["path"] for e in new_entries}
+        if missing:
+            raise ValueError(
+                f"{self.name}: non-append history between v{from_version} and "
+                f"v{to_version} ({len(missing)} group(s) rewritten) — restart "
+                "the CDC cursor with a full read"
+            )
+        paths = [e["path"] for e in new_entries if e["path"] not in old]
+        if not paths:
+            return None
+        return self._read_paths(spark, paths)
+
     def read_upsert_log(
         self, spark: SparkSession, key: str, order_col: str, version: int | None = None
     ) -> DataFrame | None:
@@ -379,6 +408,15 @@ class CheckpointLog:
             with open(os.path.join(self.dir, f"ck_{i:09d}.json")) as f:
                 out.append(json.load(f))
         return out
+
+    def get(self, batch_id: int) -> dict | None:
+        """The checkpoint committed for ``batch_id`` (None if absent —
+        never written, or vacuumed past)."""
+        path = os.path.join(self.dir, f"ck_{batch_id:09d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def _ids(self) -> list[int]:
         return sorted(
