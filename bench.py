@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "outlier_mad",
     "repetition_stats",
     "trap_detection",
+    "range_join",
+    "semdedup_prune",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "bloom_semi_join",
 ]
 
 

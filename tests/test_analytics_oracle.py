@@ -66,6 +66,37 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_cms_never_underestimates(spark):
+    """Count-min's one-sided error guarantee, checked over the FULL
+    vocabulary (the gate query only surfaces the top-10): every token's
+    min-over-rows estimate is >= its true count, and at this vocabulary
+    vs a 4x32 sketch at least one token genuinely collides (so the gate's
+    `overest` column exercises real sketch behavior, not an identity)."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.analytics import _CMS_D, _cms_bucket, _t
+
+    d = _t(spark, SF_DIR, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    buckets = F.array(*[_cms_bucket(j, F.col("tok")) for j in range(_CMS_D)])
+    sketch = (
+        toks.select(F.posexplode(buckets).alias("row_j", "bucket"))
+        .groupBy("row_j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    lk = exact.select("tok", "n_exact", F.posexplode(buckets).alias("row_j", "bucket"))
+    est = (
+        lk.join(F.broadcast(sketch), ["row_j", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    assert est.filter(F.col("cms_est") < F.col("n_exact")).count() == 0
+    assert est.filter(F.col("cms_est") > F.col("n_exact")).count() > 0
+
+
 def test_jaccard_max_df_noop_when_cap_above_all(spark):
     """DF capping with a cap above every shingle's document frequency must
     be a pure no-op (same pairs, same jaccard values)."""

@@ -131,3 +131,34 @@ def test_dedup_against_seen_aligned_equals_exact(spark):
     }
     want = {r["url_hash"] for r in exact_anti_join_seen(frontier, seen).collect()}
     assert got == want
+
+
+def test_bloom_semi_join_equals_plain_join(spark):
+    """bloom_semi_join is exactly inner-join semantics (false positives die
+    in the final join) while the bloom prefilter genuinely sheds the
+    non-matching fact rows before the shuffle."""
+    from web_scraper_spark.operators.dedup import bloom_probe as _probe
+    from web_scraper_spark.operators.dedup import bloom_semi_join, build_bloom_shards
+
+    big = spark.range(0, 20_000).select(
+        (F.col("id") % 4096).alias("k"), (F.col("id") * 7).alias("v")
+    )
+    small = spark.range(0, 4096).filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("sk"), F.lit("dim").alias("tag")
+    )
+    got = bloom_semi_join(big, small, big_key="k", small_key="sk")
+    want = big.join(small, big.k == small.sk)
+    assert got.count() == want.count()
+    g = {tuple(r) for r in got.select("k", "v", "sk", "tag").collect()}
+    w = {tuple(r) for r in want.select("k", "v", "sk", "tag").collect()}
+    assert g == w
+
+    # the prefilter sheds most of the fact side: ~111/4096 keys match, so
+    # survivors ≈ matches + fpr·big ≪ big even with generous fpr slack
+    keys = small.select(F.col("sk").cast("long").alias("k"))
+    shards = build_bloom_shards(keys, key="k", n_shards=8)
+    survivors = (
+        _probe(big, shards, key="k", n_shards=8).filter(F.col("maybe_seen")).count()
+    )
+    assert survivors >= want.count()  # no false negatives
+    assert survivors < big.count() * 0.2

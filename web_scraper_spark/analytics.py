@@ -2461,6 +2461,99 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-min sketch geometry: d=4 hash rows × w=32 counters. Small enough
+#: that the full sketch is 128 rows (broadcastable, SQL-replayable), large
+#: enough that sf0.01's vocabulary visibly collides (the overestimate the
+#: query reports is the sketch's defining behavior, not noise).
+_CMS_D = 4
+_CMS_W = 32
+
+
+def _cms_bucket(j: int, tok: F.Column) -> F.Column:
+    """Row-j counter index for a token: first 8 hex digits of a salted md5,
+    mod w — same engine-agnostic idiom as domain_mix's hash threshold."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), tok)), 1, 8)
+    return (F.conv(hx, 16, 10).cast("long") % _CMS_W).alias(f"b{j}")
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-10 tokens —
+    the mergeable point-frequency sketch next to q_hll_distinct's
+    cardinality sketch (Cormode & Muthukrishnan 2005). At 100 TB the
+    sketch replaces a distinct-token shuffle with a CONSTANT 4×32 counter
+    grid: one corpus pass, map-side combine collapses every partition to
+    ≤ d·w rows before the (tiny) shuffle, and per-partition sketches merge
+    by addition — the property that makes CMS streamable and federatable.
+
+    Built on salted md5 (engine-portable, like the HLL) and pure integer
+    counts — no floats anywhere, so the DuckDB oracle replays the sketch
+    AND the estimates bit-for-bit. The exact counts ride along as the
+    verification twin; `overest = cms_est - n_exact` is ≥ 0 by the CMS
+    one-sided-error guarantee (property-tested over every token).
+
+    Plan shape: explode tokens once, posexplode the 4-bucket array (4
+    rows/token BEFORE partial agg, never materialized past the combiner),
+    groupBy (row_j, bucket) → 128 rows; estimates join the exact top-10's
+    12 lookup rows to the broadcast sketch and take min over rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    buckets = F.array(*[_cms_bucket(j, F.col("tok")) for j in range(_CMS_D)])
+    sketch = (
+        toks.select(F.posexplode(buckets).alias("row_j", "bucket"))
+        .groupBy("row_j", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "tok")
+        .limit(10)
+    )
+    lookups = exact.select(
+        "tok", "n_exact", F.posexplode(buckets).alias("row_j", "bucket")
+    )
+    return (
+        lookups.join(F.broadcast(sketch), ["row_j", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "tok",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overest"),
+        )
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table join through the runtime bloom-filter reduction
+    (operators/dedup.bloom_semi_join): urgent orders (~18% of the dim
+    table) drive a bloom that prefilters lineitem BEFORE the join shuffle;
+    the exact equi-join on the survivors kills the false positives, so the
+    rollup below is exactly the plain inner join the oracle runs.
+
+    Scale shape: the fact side sheds ~82% of its rows map-side (one
+    mapInPandas probe over the key column, no driver collect on the
+    aligned path), the dimension side builds a 32-shard filter once —
+    the dynamic-filtering pattern every selective star join needs at
+    100 TB, demonstrated with the engine's own seen-set filter rather
+    than an optimizer flag."""
+    from .operators.dedup import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_semi_join(li, urgent, big_key="l_orderkey", small_key="o_orderkey")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return joined.groupBy("l_returnflag", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum(rev), 2).alias("revenue"),
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2531,6 +2624,8 @@ QUERIES = {
     "range_join": q_range_join,
     "semdedup_prune": q_semdedup_prune,
     "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 _JACCARD_ORACLE = """
@@ -3306,6 +3401,66 @@ FROM c
 
 
 ORACLES["hll_distinct"] = _hll_oracle_sql()
+
+
+def _cms_oracle_sql() -> str:
+    """DuckDB replay of q_cms_heavy_hitters, generated from the same
+    (d, w) constants and salt strings so every counter and every min-over-
+    rows estimate matches bit-for-bit (pure integer arithmetic)."""
+
+    def bucket(j: int, col: str = "tok") -> str:
+        return f"CAST('0x' || substr(md5('cms{j}:' || {col}), 1, 8) AS BIGINT) % {_CMS_W}"
+
+    tb_cols = ",\n         ".join(f"{bucket(j)} AS b{j}" for j in range(_CMS_D))
+    sketch = "\n  UNION ALL ".join(
+        f"SELECT {j} AS row_j, b{j} AS bucket, CAST(count(*) AS BIGINT) AS c "
+        f"FROM tb GROUP BY b{j}"
+        for j in range(_CMS_D)
+    )
+    lookups = "\n  UNION ALL ".join(
+        f"SELECT tok, n_exact, {j} AS row_j, {bucket(j)} AS bucket FROM exact"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+tb AS (
+  SELECT tok,
+         {tb_cols}
+  FROM toks
+),
+sketch AS (
+  {sketch}
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+  GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 10
+),
+lk AS (
+  {lookups}
+),
+est AS (
+  SELECT lk.tok, lk.n_exact, min(sketch.c) AS cms_est
+  FROM lk JOIN sketch ON lk.row_j = sketch.row_j AND lk.bucket = sketch.bucket
+  GROUP BY lk.tok, lk.n_exact
+)
+SELECT tok, n_exact, cms_est, cms_est - n_exact AS overest FROM est
+"""
+
+
+ORACLES["cms_heavy_hitters"] = _cms_oracle_sql()
+
+
+ORACLES["bloom_semi_join"] = """
+SELECT l.l_returnflag, o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag, o.o_orderstatus
+"""
 
 
 def get_oracles() -> dict[str, str]:

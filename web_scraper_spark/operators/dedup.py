@@ -458,3 +458,40 @@ def dedup_against_seen(
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     resolved = exact_anti_join_seen(maybe, seen, key)
     return definite_new.unionByName(resolved)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    n_shards: int = 32,
+    fpr: float = 0.01,
+) -> DataFrame:
+    """Runtime bloom-filter join reduction — the hand-rollable form of the
+    runtime-filter rewrite (Spark's spark.sql.optimizer.runtime.bloomFilter,
+    Iceberg/Trino dynamic filtering), built from the engine's own sharded
+    filter: build a bloom over the SMALL side's join keys, probe the BIG
+    side and drop definite non-matches BEFORE the join shuffle, then finish
+    with the exact equi-join. The bloom admits false positives but never
+    false negatives, and every false positive dies in the final join — so
+    the result is EXACTLY inner-join semantics while the shuffle moves
+    ~(matches + fpr·|big|) rows instead of all of big. At 100 TB this is
+    the difference between shuffling the whole fact table and shuffling the
+    ~1% of it that joins a filtered dimension.
+
+    The dedup-operator dual: ``dedup_against_seen`` keeps the bloom's
+    definite-negatives (anti-join), this keeps the maybe-positives
+    (semi-join reduction); both resolve the fuzzy slice exactly.
+
+    Keys must be integral — build/probe reuse the seen-set filter's
+    splitmix64 mixing (dedup.py:48), so raw sequential ids shard and probe
+    uniformly without pre-hashing."""
+    skey = small_key or big_key
+    keys = small.select(F.col(skey).cast("long").alias(big_key))
+    shards = build_bloom_shards(keys, key=big_key, n_shards=n_shards, fpr=fpr)
+    probed = bloom_probe(big, shards, key=big_key, n_shards=n_shards)
+    pre = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    if skey == big_key:
+        return pre.join(small, on=big_key)
+    return pre.join(small, on=pre[big_key] == small[skey])
