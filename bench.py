@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "hll_distinct",
     "cms_heavy_hitters",
     "bloom_semi_join",
+    "quantile_sketch",
+    "weighted_sample",
+    "zorder_layout",
+    "substring_dedup",
 ]
 
 

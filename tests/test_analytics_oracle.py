@@ -97,6 +97,111 @@ def test_cms_never_underestimates(spark):
     assert est.filter(F.col("cms_est") > F.col("n_exact")).count() > 0
 
 
+def test_quantile_sketch_error_bound_every_percentile(spark):
+    """The log₂/16-sub-bucket sketch's guarantee, checked at EVERY integer
+    percentile (the gate query surfaces only p50/p95/p99): the bucket
+    midpoint is within (upper−lower)/2 = lower/32 of any value in the
+    bucket, so |est/exact − 1| ≤ 1/32 must hold for all 99 ranks in every
+    group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.analytics import _t
+
+    li = _t(spark, SF_DIR, "lineitem")
+    v = li.select(
+        "l_returnflag", (F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    e = F.length(F.bin(F.col("cents"))) - 1
+    b = v.select(
+        "l_returnflag",
+        "cents",
+        (e * 16 + F.expr("shiftright(cents, length(bin(cents)) - 5)") - 16).alias(
+            "bucket_id"
+        ),
+    )
+    est = (F.col("bucket_id") % 16 + 16.5) * F.pow(
+        F.lit(2.0), (F.floor(F.col("bucket_id") / 16) - 4).cast("double")
+    )
+    worst = b.select(
+        (F.abs(est - F.col("cents")) / F.col("cents")).alias("rel_err")
+    ).agg(F.max("rel_err").alias("m")).collect()[0]["m"]
+    # per-VALUE bound subsumes the per-quantile bound (the estimate for any
+    # rank is the midpoint of the bucket holding that rank's exact value)
+    assert worst <= 1.0 / 32 + 1e-12
+
+    # and the extraction itself: sketch quantile vs exact at all 99 ranks
+    sk = b.groupBy("l_returnflag", "bucket_id").agg(F.count("*").alias("c"))
+    cum = sk.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("l_returnflag").orderBy("bucket_id"))
+    )
+    n = v.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(1, 100)], "pct int, q double"
+    )
+    ranks = n.crossJoin(F.broadcast(qs)).select(
+        "l_returnflag", "pct", F.floor(F.col("q") * (F.col("n") - 1)).alias("rk")
+    )
+    hit = (
+        ranks.join(F.broadcast(cum), "l_returnflag")
+        .filter(F.col("cum") > F.col("rk"))
+        .groupBy("l_returnflag", "pct", "rk")
+        .agg(F.min("bucket_id").alias("bucket_id"))
+    )
+    ranked = v.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("cents"))
+    )
+    both = hit.join(ranked, ["l_returnflag"]).filter(
+        F.col("rn") == F.col("rk") + 1
+    )
+    bad = both.select(
+        (F.abs(est - F.col("cents")) / F.col("cents")).alias("rel_err")
+    ).filter(F.col("rel_err") > 1.0 / 32 + 1e-12)
+    assert bad.count() == 0
+
+
+def test_weighted_sample_inclusion_tracks_weight():
+    """A-ES draws ARE length-weighted: replaying the exact key formula
+    (same md5 idiom Spark evaluates) over 64 independent salts, the
+    longest-quartile docs must be included far more often than the
+    shortest quartile — the property that distinguishes u^(1/w) from a
+    uniform top-k. Pure driver-side math: the Spark plumbing is already
+    value-gated against the DuckDB oracle."""
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, length(text) AS w FROM '{SF_DIR}/documents.parquet' "
+        "WHERE length(text) > 0"
+    ).fetchall()
+    ws = sorted(w for _, w in rows)
+    q1, q3 = ws[len(ws) // 4], ws[3 * len(ws) // 4]
+    k = 25
+    lo_hits = hi_hits = 0
+    for salt in range(64):
+        keyed = [
+            (
+                (
+                    (int(hashlib.md5(f"s{salt}:{d}".encode()).hexdigest()[:8], 16) + 0.5)
+                    / 2**32
+                )
+                ** (1.0 / w),
+                w,
+            )
+            for d, w in rows
+        ]
+        for _, w in sorted(keyed, reverse=True)[:k]:
+            if w <= q1:
+                lo_hits += 1
+            elif w >= q3:
+                hi_hits += 1
+    # uniform sampling would land ≈1:1 (equal quartile sizes); the
+    # length-weighted draw lands ≈3.9:1 at this corpus's ~4× quartile
+    # weight ratio — 2.5× is comfortably between the two hypotheses
+    assert hi_hits > 2.5 * max(lo_hits, 1)
+
+
 def test_jaccard_max_df_noop_when_cap_above_all(spark):
     """DF capping with a cap above every shingle's document frequency must
     be a pure no-op (same pairs, same jaccard values)."""

@@ -117,8 +117,18 @@ def test_image_shard_pack_window_is_block_partitioned(spark):
 #: bounded-by-construction exceptions: tfidf_topk and domain_mix
 #: cross-join a ONE-ROW broadcast aggregate (scalar attach, not a
 #: cartesian blow-up); embedding_kmeans cross-joins the k-row (k=8)
-#: broadcast centroid table — the standard scored-assignment shape
-CROSS_JOIN_OK = {"tfidf_topk", "domain_mix", "embedding_kmeans"}
+#: bounded broadcast cross joins: centroid tables (tfidf_topk, domain_mix,
+#: embedding_kmeans), the 16-register HLL grid, the 3-row quantile list,
+#: and zorder's 1-row min/max range — every nested-loop side is a literal
+#: or aggregate of constant size, never a data-scaled table
+CROSS_JOIN_OK = {
+    "tfidf_topk",
+    "domain_mix",
+    "embedding_kmeans",
+    "hll_distinct",
+    "quantile_sketch",
+    "zorder_layout",
+}
 
 
 def test_bigram_pmi_broadcasts_unigram_counts(spark):
@@ -148,6 +158,35 @@ def test_trap_detection_is_two_phase_distinct_agg(spark):
     assert plan.count("Exchange") == 2, plan
     assert "EvalPython" not in plan
     assert "partial_count" in plan  # map-side combine on both phases
+
+
+def test_weighted_sample_is_one_pass_top_k(spark):
+    # A-ES = map pass + distributed top-k: NO shuffle at all — each
+    # partition keeps a local k-heap and the driver merges k·partitions
+    plan = _plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan
+
+
+def test_substring_dedup_is_hash_shingle_join(spark):
+    # the 13-gram self-join must be an equi-join on the gram hash (SMJ or
+    # shuffled hash), never a nested loop; two exchanges = the two join
+    # sides' clustering, the pair aggregate reuses it
+    plan = _plan(spark, "substring_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 3, plan
+    assert "EvalPython" not in plan
+
+
+def test_cms_sketch_aggregates_map_side(spark):
+    # the 4×32 counter grid must collapse via partial aggregation before
+    # its (tiny) shuffle, and the top-10 lookup side must broadcast
+    plan = _plan(spark, "cms_heavy_hitters")
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan
 
 
 def test_no_cartesian_products_anywhere(spark):

@@ -2554,6 +2554,245 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quantile-sketch geometry: 4 sub-bucket bits → 16 sub-buckets per
+#: power-of-two octave (HdrHistogram's exponent+mantissa bucketization).
+#: Bucket bounds are [(16+sub)·2^(e-4), (17+sub)·2^(e-4)); the midpoint
+#: estimate is within (upper−lower)/2 = lower/32 of any in-bucket value,
+#: so relative error ≤ 1/32 — property-tested at every percentile.
+_QSK_SUBBITS = 4
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (HdrHistogram-style log₂ histogram; the
+    deterministic cousin of DDSketch, Masson et al. VLDB 2019) — p50/p95/
+    p99 of lineitem price per return flag, next to the exact rank-based
+    value. Completes the sketch triptych: HLL (cardinality), CMS (point
+    frequency), this (quantiles) — the three state summaries a 100 TB
+    profiler keeps per column without ever sorting the data.
+
+    Bucketization is PURE INTEGER so DuckDB replays every bucket id
+    bit-for-bit (exactly why percentile_approx/approx_quantile can't be
+    gated value-level: private float codecs): cents = price·100 as long,
+    octave e = length(bin(cents))−1 (the bit length, no log()), sub-bucket
+    = top-4 mantissa bits via a variable shiftright, bucket_id = e·16+sub
+    − 16. The estimate reconstructs the bucket midpoint as (sub+16.5)·
+    2^(e−4) — a float built from integers and an exact power of two, so
+    both engines produce the identical double.
+
+    Scale shape: one partial-aggregating groupBy collapses every partition
+    to ≤ groups·(16·64) counter rows map-side (vs the full sort a true
+    percentile needs); sketches merge by addition, so per-partition /
+    per-day sketches federate. Quantile extraction walks the cumulative
+    counts of the ≤1k-row sketch; rank = floor(q·(n−1)) (type-1/lower
+    quantile — replayed verbatim in the oracle via row_number). The exact
+    twin rides along as the sandbox-scale verification column."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    # TPC-H prices are ≥ $900 → cents ≥ 2^16, so e ≥ 4 always holds and
+    # the mantissa shift (e−4) is never negative.
+    withe = v.withColumn("e", F.length(F.bin(F.col("cents"))) - 1)
+    bucketed = withe.select(
+        "l_returnflag",
+        (
+            F.col("e") * 16 + F.expr("shiftright(cents, e - 4)") - 16
+        ).alias("bucket_id"),
+    )
+    sketch = bucketed.groupBy("l_returnflag", "bucket_id").agg(
+        F.count("*").alias("c")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("bucket_id")
+    cum = sketch.withColumn("cum", F.sum("c").over(wcum))
+
+    n = v.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame(
+        [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)], "q_name string, q double"
+    )
+    ranks = n.crossJoin(F.broadcast(qs)).select(
+        "l_returnflag",
+        "q_name",
+        "n",
+        F.floor(F.col("q") * (F.col("n") - 1)).alias("rk"),
+    )
+    hit = (
+        ranks.join(F.broadcast(cum), "l_returnflag")
+        .filter(F.col("cum") > F.col("rk"))
+        .groupBy("l_returnflag", "q_name", "n", "rk")
+        .agg(F.min("bucket_id").alias("bucket_id"))
+    )
+    wv = Window.partitionBy("l_returnflag").orderBy("cents")
+    ranked = v.withColumn("rn", F.row_number().over(wv))
+    exact = ranks.join(
+        ranked,
+        ["l_returnflag"],
+    ).filter(F.col("rn") == F.col("rk") + 1)
+    est = (F.col("bucket_id") % 16 + 16.5) * F.pow(
+        F.lit(2.0), (F.floor(F.col("bucket_id") / 16) - 4).cast("double")
+    )
+    return (
+        hit.withColumn("est_cents", est)
+        .join(
+            exact.select("l_returnflag", "q_name", F.col("cents").alias("exact_cents")),
+            ["l_returnflag", "q_name"],
+        )
+        .select(
+            "l_returnflag",
+            "q_name",
+            "n",
+            "exact_cents",
+            F.round("est_cents", 4).alias("est_cents"),
+            F.round(
+                (F.col("est_cents") - F.col("exact_cents")) / F.col("exact_cents"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=25 documents with
+    inclusion probability proportional to length — the Efraimidis-
+    Spirakis A-ES key method (IPL 2006): u = hash-uniform(0,1), key =
+    u^(1/w), keep the k largest keys. One map pass computes keys, then a
+    distributed top-k — no global sort, no multi-pass rejection loop.
+
+    This is the exact-k counterpart of q_domain_mix's Bernoulli hash
+    thresholding: domain_mix hits a target SHARE in expectation, this
+    draws an exact-size sample under per-row weights — what a training-
+    data mixer needs when the recipe says "25 docs, length-weighted".
+
+    Determinism: u is built from the same salted-md5 idiom as the CMS/
+    domain_mix ((hex8 + 0.5)/2^32, never exactly 0 so ln/pow are finite),
+    so the oracle replays keys value-for-value; keys are continuous so
+    the top-k cut is tie-free. Scale shape: TakeOrderedAndProject — each
+    partition keeps its local k in a heap, the driver merges k·partitions
+    rows; mergeable across corpus shards the same way (max-k of key
+    unions), which also makes it a one-pass streaming reservoir."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.length("text").cast("double").alias("w")
+    u = (
+        (F.conv(F.substring(F.md5(F.concat(F.lit("aes:"), F.col("doc_id"))), 1, 8), 16, 10).cast("double") + 0.5)
+        / F.lit(4294967296.0)
+    )
+    keyed = d.select(
+        "doc_id", w, F.pow(u, F.lit(1.0) / F.col("w")).alias("skey")
+    ).filter(F.col("w") > 0)
+    return (
+        keyed.orderBy(F.col("skey").desc())
+        .limit(25)
+        .select("doc_id", F.col("w").cast("long").alias("w"), F.round("skey", 9).alias("skey"))
+    )
+
+
+def _zorder_interleave8(a: F.Column, b: F.Column) -> F.Column:
+    """Morton key from two 8-bit integers: bit i of ``a`` lands at 2i, bit
+    i of ``b`` at 2i+1. The 16 terms occupy disjoint bits, so plain + is
+    the bit-or — a shape DuckDB replays with the same >>/&/<< arithmetic."""
+    out = None
+    for i in range(8):
+        ta = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        tb = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        out = ta + tb if out is None else out + ta + tb
+    return out
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout over events on (user_id, time) —
+    per-file bounding boxes after cutting the z-sorted order into 16 files.
+    THE data-layout lever for 100 TB scan pruning (Delta OPTIMIZE ZORDER /
+    Iceberg sort orders): a table sorted by time alone answers user-scoped
+    queries by reading every file; interleaving the two dimensions' bits
+    makes every file a small rectangle in (user, time) space, so file-level
+    min/max stats prune BOTH predicates (~√F of F files for a point query
+    on either axis — asserted against the time-sorted layout in
+    tests/test_zorder.py).
+
+    All integer arithmetic, replayed bit-for-bit by the oracle: each
+    dimension is range-normalized to 8 bits via (x−min)·256 div
+    (max−min+1) (timestamps as microsecond DIFFERENCES, so the NTZ↔LTZ
+    offset cancels — the sessionize idiom), the Morton key interleaves the
+    two bytes, and ntile(16) over (zkey, event_id) cuts files. The global
+    ntile sort is the sandbox's SQL-replayable stand-in for the production
+    write path — repartitionByRange(zkey) + sortWithinPartitions, which
+    needs no global sort (range exchange on sampled bounds); the per-file
+    boxes it yields are the same shape."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    base = ev.select("event_id", F.col("user_id").alias("uid"), us.alias("us"))
+    rng = base.agg(
+        F.min("uid").alias("umin"),
+        F.max("uid").alias("umax"),
+        F.min("us").alias("smin"),
+        F.max("us").alias("smax"),
+    )
+    j = base.crossJoin(F.broadcast(rng))
+    a8 = F.expr("(uid - umin) * 256 div (umax - umin + 1)")
+    b8 = F.expr("(us - smin) * 256 div (smax - smin + 1)")
+    keyed = j.select(
+        "event_id",
+        a8.alias("a8"),
+        b8.alias("b8"),
+    ).withColumn("zkey", _zorder_interleave8(F.col("a8"), F.col("b8")))
+    cut = keyed.withColumn(
+        "file_id", F.ntile(16).over(Window.orderBy("zkey", "event_id"))
+    )
+    return cut.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("a8").alias("min_user_bucket"),
+        F.max("a8").alias("max_user_bucket"),
+        F.min("b8").alias("min_time_bucket"),
+        F.max("b8").alias("max_time_bucket"),
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication at 13-token granularity — document
+    pairs sharing ≥5 distinct 13-grams (the window length of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    which dedups at 50 BPE tokens; 13 words ≈ the same span). Catches the
+    boilerplate/quotation overlap MinHash's whole-document similarity
+    smooths over: two long docs sharing one lifted paragraph score near-0
+    Jaccard but light up here.
+
+    Plan: one pass builds each doc's DISTINCT 13-gram set (transform over
+    the token array — the window explode happens inside a single
+    projection, array_distinct BEFORE the explode keeps repeated
+    boilerplate within a doc from inflating the join), grams md5-hashed to
+    fixed 32-byte keys, then a self-equi-join on gram hash with doc_a <
+    doc_b and a pair-count aggregate. Exactly the shingle-join shape of
+    dedup_ngram_jaccard, so the same max_df valve applies verbatim when a
+    gram goes viral at 100 TB (stop-gram capping bounds the hottest key at
+    df²); the full Lee-et-al. treatment (suffix-array span merging) would
+    replace the distinct-set with positional grams and chain adjacent
+    hits — the join skeleton is unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.filter(F.size(F.split("text", " ")) >= 13)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 13), "
+                        "i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 13))))"
+                    )
+                )
+            ).alias("gh"),
+        )
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2626,6 +2865,10 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_semi_join": q_bloom_semi_join,
+    "quantile_sketch": q_quantile_sketch,
+    "weighted_sample": q_weighted_sample,
+    "zorder_layout": q_zorder_layout,
+    "substring_dedup": q_substring_dedup,
 }
 
 _JACCARD_ORACLE = """
@@ -3460,6 +3703,141 @@ SELECT l.l_returnflag, o.o_orderstatus,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY l.l_returnflag, o.o_orderstatus
+"""
+
+
+# Bit-for-bit replay of q_quantile_sketch: the same integer bucketization
+# (bit length via bin(), variable >>), the same floor(q·(n−1)) rank, the
+# same (sub+16.5)·2^(e−4) midpoint reconstruction. row_number replays the
+# type-1 exact quantile the Spark twin computes.
+ORACLES["quantile_sketch"] = """
+WITH v AS (
+  SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT l_returnflag,
+         (length(bin(cents)) - 1) * 16 + (cents >> (length(bin(cents)) - 1 - 4)) - 16
+           AS bucket_id
+  FROM v
+),
+sk AS (
+  SELECT l_returnflag, bucket_id, count(*) AS c FROM b GROUP BY 1, 2
+),
+cm AS (
+  SELECT l_returnflag, bucket_id,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket_id) AS cum
+  FROM sk
+),
+n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+qs AS (SELECT * FROM (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99)) t(q_name, q)),
+rk AS (
+  SELECT l_returnflag, q_name, n, CAST(floor(q * (n - 1)) AS BIGINT) AS rk
+  FROM n CROSS JOIN qs
+),
+hit AS (
+  SELECT r.l_returnflag, r.q_name, r.n, r.rk, min(c.bucket_id) AS bucket_id
+  FROM rk r JOIN cm c ON r.l_returnflag = c.l_returnflag AND c.cum > r.rk
+  GROUP BY 1, 2, 3, 4
+),
+rnk AS (
+  SELECT l_returnflag, cents,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn
+  FROM v
+),
+ex AS (
+  SELECT r.l_returnflag, r.q_name, k.cents AS exact_cents
+  FROM rk r JOIN rnk k ON r.l_returnflag = k.l_returnflag AND k.rn = r.rk + 1
+),
+est AS (
+  SELECT h.l_returnflag, h.q_name, h.n, e.exact_cents,
+         (h.bucket_id % 16 + 16.5) * power(2.0, (h.bucket_id // 16) - 4) AS raw
+  FROM hit h JOIN ex e ON h.l_returnflag = e.l_returnflag AND h.q_name = e.q_name
+)
+SELECT l_returnflag, q_name, n, exact_cents,
+       round(raw, 4) AS est_cents,
+       round((raw - exact_cents) / exact_cents, 6) AS rel_err
+FROM est
+"""
+
+
+# Replay of q_weighted_sample: same salted-md5 uniform, same u^(1/w) key,
+# same top-25 cut (keys continuous → tie-free), same 9-dp rounding.
+ORACLES["weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS w,
+         power(
+           (CAST('0x' || substr(md5('aes:' || doc_id), 1, 8) AS BIGINT) + 0.5)
+             / 4294967296.0,
+           1.0 / CAST(length(text) AS DOUBLE)
+         ) AS skey
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w, round(skey, 9) AS skey
+FROM keyed ORDER BY skey DESC LIMIT 25
+"""
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB replay of q_zorder_layout: identical range normalization
+    (integer // with the same +1 denominator), identical 16-term Morton
+    interleave (generated from the same loop), identical ntile cut."""
+    terms = " + ".join(
+        f"(((a8 >> {i}) & 1) << {2 * i}) + (((b8 >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id AS uid, epoch_us(ts) AS us FROM events
+),
+rng AS (
+  SELECT min(uid) AS umin, max(uid) AS umax, min(us) AS smin, max(us) AS smax
+  FROM base
+),
+nrm AS (
+  SELECT event_id,
+         (uid - umin) * 256 // (umax - umin + 1) AS a8,
+         (us - smin) * 256 // (smax - smin + 1) AS b8
+  FROM base CROSS JOIN rng
+),
+keyed AS (
+  SELECT event_id, a8, b8, {terms} AS zkey FROM nrm
+),
+cut AS (
+  SELECT a8, b8, ntile(16) OVER (ORDER BY zkey, event_id) AS file_id FROM keyed
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(a8) AS min_user_bucket, max(a8) AS max_user_bucket,
+       min(b8) AS min_time_bucket, max(b8) AS max_time_bucket
+FROM cut GROUP BY file_id
+"""
+
+
+ORACLES["zorder_layout"] = _zorder_oracle_sql()
+
+
+# Replay of q_substring_dedup: same 13-token windows (DuckDB list slicing
+# t[i:i+12] is the inclusive twin of slice(t, i+1, 13)), same per-doc
+# DISTINCT gram set, same a<b pair count and ≥5 threshold. Joins on the
+# raw gram text — md5 on the Spark side is only key compression.
+ORACLES["substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 11)) AS r(i)
+  WHERE len(t) >= 13
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 5
 """
 
 
