@@ -278,3 +278,95 @@ def test_sessionized_stats_matches_batch_twin_on_events_table(spark):
         for r in batch.collect()
     }
     assert stream_sessions == batch_sessions
+
+
+# ---------------------------------------------------------------------
+# incremental CMS maintenance (streaming/sketches.py)
+# ---------------------------------------------------------------------
+
+
+def _grid(df):
+    return {(r["row_j"], r["bucket"]): r["c"] for r in df.collect()}
+
+
+def _doc_halves(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(a)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(b)
+    return docs, a, b
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Merge-by-addition, cashed in: draining the corpus through the
+    foreachBatch sink file-by-file yields EXACTLY the counter grid the
+    one-shot batch sketch computes over everything."""
+    from web_scraper_spark.streaming.sketches import (
+        cms_partial_sketch,
+        cms_state_df,
+        run_cms_available_now,
+    )
+
+    docs, a, b = _doc_halves(spark, tmp_path)
+    src = str(tmp_path / "src")
+    spark.read.parquet(a).write.mode("append").parquet(src)
+    spark.read.parquet(b).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    run_cms_available_now(stream, state, str(tmp_path / "ck"))
+    assert _grid(cms_state_df(spark, state)) == _grid(cms_partial_sketch(docs))
+
+
+def test_streaming_cms_restart_picks_up_only_new_files(spark, tmp_path):
+    """Checkpoint + batch-id fence across TWO availableNow runs: the
+    second run folds only the late file — no double count of the first."""
+    from web_scraper_spark.streaming.sketches import (
+        cms_partial_sketch,
+        cms_state_df,
+        run_cms_available_now,
+    )
+
+    docs, a, b = _doc_halves(spark, tmp_path)
+    src = str(tmp_path / "src")
+    spark.read.parquet(a).write.mode("append").parquet(src)
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+
+    def _stream():
+        return spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    run_cms_available_now(_stream(), state, ck)
+    spark.read.parquet(b).write.mode("append").parquet(src)
+    run_cms_available_now(_stream(), state, ck)
+    assert _grid(cms_state_df(spark, state)) == _grid(cms_partial_sketch(docs))
+
+
+def test_streaming_cms_replayed_batch_is_skipped(spark, tmp_path):
+    """The at-least-once sink contract: re-invoking the sink fn with an
+    already-applied batch_id must not change the grid, and a point
+    estimate stays ≥ the true count (CMS one-sided error survives the
+    streaming path)."""
+    from web_scraper_spark.streaming.sketches import (
+        cms_estimate,
+        cms_foreach_batch,
+        cms_state_df,
+    )
+
+    docs, _, _ = _doc_halves(spark, tmp_path)
+    state = str(tmp_path / "state")
+    fn = cms_foreach_batch(state)
+    fn(docs, 0)
+    before = _grid(cms_state_df(spark, state))
+    fn(docs, 0)  # crash-replay of the same batch
+    assert _grid(cms_state_df(spark, state)) == before
+
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    top = tok.groupBy("t").count().orderBy(F.desc("count")).first()
+    assert cms_estimate(state, top["t"]) >= top["count"]
