@@ -370,3 +370,39 @@ def test_streaming_cms_replayed_batch_is_skipped(spark, tmp_path):
     )
     top = tok.groupBy("t").count().orderBy(F.desc("count")).first()
     assert cms_estimate(state, top["t"]) >= top["count"]
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """Max-merge, cashed in: draining events file-by-file leaves exactly
+    the registers the one-shot partial computes over everything, and the
+    driver-side estimate matches the m=16 sketch's accuracy envelope."""
+    from web_scraper_spark.streaming.sketches import (
+        hll_estimate,
+        hll_partial_registers,
+        read_hll_state,
+        run_hll_available_now,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    run_hll_available_now(stream, state, str(tmp_path / "ck"), "user_id")
+
+    batch_regs = {
+        r["bucket"]: r["m_reg"] for r in hll_partial_registers(ev, "user_id").collect()
+    }
+    _, regs = read_hll_state(state)
+    streamed = {b: m for b, m in enumerate(regs) if m > 0}
+    assert streamed == batch_regs
+
+    exact = ev.select("user_id").distinct().count()
+    assert abs(hll_estimate(state) - exact) / exact < 0.6  # m=16 envelope

@@ -133,3 +133,95 @@ def cms_state_df(spark: SparkSession, state_dir: str) -> DataFrame:
         if counters[j * _CMS_W + b] > 0
     ]
     return spark.createDataFrame(rows, "row_j int, bucket bigint, c long")
+
+
+# ---------------------------------------------------------------------
+# streaming HyperLogLog — the max-merge counterpart of the CMS's
+# merge-by-addition (registers combine by elementwise MAX, the property
+# that lets per-batch/per-shard HLLs federate without rescans)
+# ---------------------------------------------------------------------
+
+from ..analytics import _HLL_M, _HLL_RHO_CAP, _NIB_BIN  # noqa: E402
+
+_HLL_STATE_FILE = "hll_state.json"
+
+
+def hll_partial_registers(df: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, m_reg) partial registers of one batch — the identical
+    md5-nibble construction of analytics.q_hll_distinct (bucket = first
+    nibble, rho = first '1' in the next 60 bits, capped), so streamed and
+    batch registers are the same mathematical object."""
+    hx = df.select(F.md5(F.col(value_col).cast("string")).alias("hx"))
+
+    def _nib(j: int):
+        ch = F.substring("hx", j + 1, 1)
+        return F.when(ch >= "a", F.ascii(ch) - 87).otherwise(F.ascii(ch) - 48)
+
+    bits = F.concat(
+        *[F.substr(F.lit(_NIB_BIN), _nib(j) * 4 + 1, F.lit(4)) for j in range(1, 16)]
+    )
+    pos = F.instr(bits, "1")
+    rho = F.least(F.when(pos == 0, 61).otherwise(pos), F.lit(_HLL_RHO_CAP))
+    return (
+        hx.select(_nib(0).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("m_reg"))
+    )
+
+
+def read_hll_state(state_dir: str) -> tuple[int, list[int]]:
+    p = os.path.join(state_dir, _HLL_STATE_FILE)
+    if not os.path.exists(p):
+        return -1, [0] * _HLL_M
+    with open(p) as f:
+        st = json.load(f)
+    return int(st["batch_id"]), list(st["registers"])
+
+
+def hll_estimate(state_dir: str) -> float:
+    """Cardinality estimate from the persisted registers — the same
+    integer harmonic denominator + linear-counting branch as the batch
+    query, computed driver-side (16 ints, no Spark job)."""
+    import math
+
+    _, regs = read_hll_state(state_dir)
+    num = 0.673 * _HLL_M * _HLL_M * float(2**_HLL_RHO_CAP)
+    raw = num / sum(2 ** (_HLL_RHO_CAP - m) for m in regs)
+    v_zero = sum(1 for m in regs if m == 0)
+    if raw <= 2.5 * _HLL_M and v_zero > 0:
+        return _HLL_M * math.log(_HLL_M / v_zero)
+    return raw
+
+
+def hll_foreach_batch(state_dir: str, value_col: str):
+    """foreachBatch sink fn: elementwise-MAX the batch's registers into
+    the persistent grid, fenced on batch_id (idempotent under replay —
+    max-merge is idempotent even without the fence; the fence keeps the
+    cursor semantics identical to the CMS sink)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        last, regs = read_hll_state(state_dir)
+        if batch_id <= last:
+            return
+        for r in hll_partial_registers(batch_df, value_col).collect():
+            b = int(r["bucket"])
+            regs[b] = max(regs[b], int(r["m_reg"]))
+        tmp = os.path.join(state_dir, _HLL_STATE_FILE) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "registers": regs}, f)
+        os.replace(tmp, os.path.join(state_dir, _HLL_STATE_FILE))
+
+    return _merge
+
+
+def run_hll_available_now(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str, value_col: str
+) -> None:
+    q = (
+        stream.writeStream.foreachBatch(hll_foreach_batch(state_dir, value_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
