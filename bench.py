@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "weighted_sample",
     "zorder_layout",
     "substring_dedup",
+    "anchor_text",
+    "corpus_overlap",
+    "corpus_drift",
+    "bpe_merges",
+    "caption_align",
 ]
 
 

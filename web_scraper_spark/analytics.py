@@ -2794,6 +2794,314 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-3 additions: web-graph metadata, corpus comparison, tokenizer
+# induction, multimodal alignment, drift monitoring
+# =====================================================================
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the crawl's link graph — the classic
+    web-corpus enrichment step (inbound anchor terms describe a page
+    better than its own text; they feed both ranking and training-data
+    captioning). The reference never aggregates across pages at all; this
+    is the Spark-native generalization of its per-page metadata merge
+    (video_info_extractor.py:194-300).
+
+    The link graph reuses q_pagerank's deterministic synthesis
+    (dst = (src·31 + k·17) mod N, k ∈ 1..4, self-links dropped) so the
+    oracle can rebuild it; the anchor term for edge k is token k of the
+    source document (every doc has ≥10 tokens, so no null anchors).
+
+    Plan: two hash aggregations keyed on dst — per-(dst, anchor) counts
+    feeding a per-dst top-1 window, and per-dst inlink/distinct-src
+    totals — joined on dst. Both shuffles share the dst key; the window
+    partitions by dst (never a global sort). At 10^10 edges this is the
+    standard two-level combine: partial map-side aggregation bounds the
+    shuffle at distinct (dst, anchor) pairs, not raw edges."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    k = F.explode(F.array([F.lit(i) for i in (1, 2, 3, 4)])).alias("k")
+    edges = (
+        d.select(F.col("doc_id").alias("src"), F.split("text", " ").alias("w"), k)
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("k") * 17) % n).alias("dst"),
+            F.get("w", F.col("k") - 1).alias("anchor"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    tot = edges.groupBy("dst").agg(
+        F.count("*").alias("inlinks"),
+        F.countDistinct("src").alias("distinct_src"),
+    )
+    pa = edges.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("anchor").asc())
+    top = pa.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return tot.join(top, "dst").select(
+        "dst",
+        "inlinks",
+        "distinct_src",
+        F.col("anchor").alias("top_anchor"),
+        F.col("cnt").alias("top_anchor_n"),
+    )
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl overlap estimation: bottom-k minhash sketch of two
+    corpora next to the exact Jaccard — the "how much of crawl N+1 did we
+    already have in crawl N" question every recurring crawl asks before
+    paying for a full anti-join. The two corpora are overlapping doc_id
+    slices (A = id mod 3 ∈ {0,1}, B = id mod 3 ∈ {1,2}) — every text in
+    the testdata is unique, so disjoint halves would make J trivially 0;
+    the shared ≡1 slice pins true J ≈ 1/3 and actually exercises the
+    estimator.
+
+    Bottom-k (Cohen / Beyer et al.): per corpus keep the k smallest
+    md5(text) over DISTINCT texts; merge the two sketches, keep the k
+    smallest of the union, and estimate J = |{h in merged-k: h in both
+    sketches}| / |merged-k| (denominator min(k, |union|) so the estimator
+    is exact when the union fits in the sketch). md5 keeps both engines
+    bit-identical.
+
+    Scale: the exact twin is one groupBy over distinct texts; the sketch
+    path aggregates to 2k rows — per-corpus bottom-k is a
+    partial-aggregating per-partition top-k at scale (k rows per
+    partition shuffle), and the merged rank runs on ≤2k driver-trivial
+    rows (the single-partition window is over the SKETCH, never the
+    corpus)."""
+    K = 128
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    base = d.select(
+        F.md5("text").alias("h"),
+        F.when(m <= 1, 1).otherwise(0).alias("a"),
+        F.when(m >= 1, 1).otherwise(0).alias("b"),
+    )
+    flags = base.groupBy("h").agg(
+        F.max("a").alias("in_a"), F.max("b").alias("in_b")
+    )
+    exact = flags.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter"),
+        F.count("*").alias("uni"),
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+    )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: per-partition
+    # bottom-k, driver merge of k·partitions rows — the distributed
+    # bottom-k idiom (never a global sort).
+    ska = (
+        flags.filter(F.col("in_a") == 1)
+        .select("h")
+        .orderBy("h")
+        .limit(K)
+        .select("h", F.lit(0).alias("c"))
+    )
+    skb = (
+        flags.filter(F.col("in_b") == 1)
+        .select("h")
+        .orderBy("h")
+        .limit(K)
+        .select("h", F.lit(1).alias("c"))
+    )
+    skf = (
+        ska.union(skb)
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("c") == 0, 1).otherwise(0)).alias("sk_a"),
+            F.max(F.when(F.col("c") == 1, 1).otherwise(0)).alias("sk_b"),
+        )
+    )
+    wm = Window.orderBy("h")
+    est = (
+        skf.withColumn("mrk", F.row_number().over(wm))
+        .filter(F.col("mrk") <= K)
+        .agg(
+            F.sum(F.col("sk_a") * F.col("sk_b")).alias("both_k"),
+            F.count("*").alias("mk"),
+        )
+    )
+    return exact.crossJoin(est).select(
+        F.lit(K).cast("int").alias("k"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("inter") / F.col("uni"), 6).alias("exact_jaccard"),
+        F.round(F.col("both_k") / F.col("mk"), 6).alias("est_jaccard"),
+    )
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: token-length distribution of two crawl
+    snapshots (doc_id parity halves) compared by per-bucket KL terms —
+    the data-quality alarm a recurring crawl runs before a new snapshot
+    enters training (distribution shift = scraper breakage or source
+    drift, caught before the tokenizer sees it).
+
+    Buckets are token length clamped to 12 with a generated 1..12 spine
+    (zero-count buckets stay present), Laplace-smoothed (+1 / +12), and
+    KL(P_a‖P_b) arrives as per-bucket contributions p_a·ln(p_a/p_b).
+    Every float is a single expression over exact integer counts — no
+    float summation anywhere — so Spark and DuckDB agree bit-for-bit
+    before the final round.
+
+    Scale: one explode + one 12-group hash agg (map-side combined), a
+    broadcast of the 1-row totals; the spine join is 12 rows."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).cast("int").alias("c"),
+        F.explode(F.split("text", " ")).alias("t"),
+    ).select("c", F.least(F.length("t"), F.lit(12)).alias("bucket"))
+    cnt = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    spine = spark.range(1, 13).select(F.col("id").cast("int").alias("bucket"))
+    filled = (
+        spine.join(cnt, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+    )
+    tot = filled.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+    j = filled.crossJoin(F.broadcast(tot))
+    pa = (F.col("cnt_a") + 1) / (F.col("ta") + 12)
+    pb = (F.col("cnt_b") + 1) / (F.col("tb") + 12)
+    return j.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.round(pa, 8).alias("p_a"),
+        F.round(pb, 8).alias("p_b"),
+        F.round(pa * F.log(pa / pb), 8).alias("kl_term"),
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three greedy BPE merge rounds over the corpus — the actual
+    tokenizer-induction loop (q_bigram_pmi is one round's counting step;
+    this runs the count → argmax-pair → merge-corpus cycle and re-counts
+    on the merged corpus, Sennrich et al. 2016).
+
+    Corpus representation: each doc becomes ' tok₁  tok₂ … ' with
+    double-space separators, so a merge is one literal string replace of
+    ' x  y ' with ' x_y ' — left-to-right non-overlapping replacement IS
+    greedy BPE application, and both engines' replace() share that
+    semantic exactly. Pair counts come from the adjacent-pair zip
+    (transform over a slice — no self-join); the argmax pair (tie-broken
+    by (w1, w2)) is a 1-row collect per round, which is the nature of the
+    artifact: tokenizer training emits a driver-small merge TABLE, not a
+    dataset. tokens_after re-counts the merged corpus, verifying the
+    replace application itself, not just the counts.
+
+    Scale: per round one map-side-combined pair aggregation (shuffle
+    bounded by distinct pairs, not corpus tokens) + one map-only corpus
+    rewrite; rounds are a fixed constant (real BPE runs ~30k rounds over
+    a SAMPLE — the per-round plan is identical). Oracle: 3 unrolled CTE
+    rounds replaying count/argmax/replace verbatim."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.regexp_replace("text", " ", "  "), F.lit(" ")).alias("s"),
+    )
+    rows = []
+    for r in (1, 2, 3):
+        toks = corpus.select(F.split(F.trim(F.col("s")), "  ").alias("w"))
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1),"
+                    " (x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        ).select("bg.w1", "bg.w2")
+        best = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "w1", "w2")
+            .limit(1)
+            .collect()[0]
+        )
+        pat = f" {best['w1']}  {best['w2']} "
+        rep = f" {best['w1']}_{best['w2']} "
+        corpus = corpus.select(
+            "doc_id", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
+        )
+        tokens_after = (
+            corpus.select(F.size(F.split(F.trim(F.col("s")), "  ")).alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        rows.append((r, best["w1"], best["w2"], int(best["cnt"]), int(tokens_after)))
+    return spark.createDataFrame(
+        rows, "round int, left_tok string, right_tok string, pair_n long, tokens_after long"
+    )
+
+
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text alignment score per (document, embedding) pair — the
+    CLIP-score-shaped filter of multimodal curation (LAION keeps pairs
+    whose caption embedding and image embedding cosine above a cutoff).
+    No model exists in this sandbox, so the text side is an honest
+    DETERMINISTIC projection — a hashed bag-of-words signed sum, the
+    random-hyperplane trick of q_simhash applied as an embedding — while
+    the image side is the real embeddings table; the Spark plumbing
+    (explode → aligned elementwise join → cosine) is exactly what the
+    real-model version runs, with the projection swapped for an encoder.
+
+    Text vector: for each of the first 8 tokens, md5(token) supplies 64
+    signed bits (hex nibbles MSB-first, +1/-1); v_j = Σ_tokens sgn_j.
+    Cosine joins the per-dimension text rows against the posexploded
+    embedding rows on (doc_id, j) — one equi-join keyed (doc_id, j), one
+    per-doc aggregation; all integer until the final cosine.
+
+    Scale: rows = docs × 8 × 64 on the text side, docs × 64 on the image
+    side — both linear in corpus size, shuffled once on the doc key; at
+    10^10 docs swap the explode for the BLAS-blocked mapInPandas form of
+    q_dedup_embedding_cosine (same contract, fewer rows), which the
+    oracle-checked relational form here verifies."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    toks = d.select(
+        "doc_id", F.explode(F.slice(F.split("text", " "), 1, 8)).alias("t")
+    ).select("doc_id", F.md5("t").alias("hx"))
+    nib = (
+        "(CASE WHEN substring(hx, CAST(j DIV 4 AS INT) + 1, 1) >= 'a'"
+        " THEN ascii(substring(hx, CAST(j DIV 4 AS INT) + 1, 1)) - 87"
+        " ELSE ascii(substring(hx, CAST(j DIV 4 AS INT) + 1, 1)) - 48 END)"
+    )
+    sbits = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), j -> "
+                f"CASE WHEN shiftright({nib}, 3 - j % 4) % 2 = 1 THEN 1 ELSE -1 END)"
+            )
+        ).alias("j", "sgn"),
+    )
+    tv = sbits.groupBy("doc_id", "j").agg(F.sum("sgn").alias("tv"))
+    ev = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "ev"),
+    )
+    return (
+        tv.join(ev, ["doc_id", "j"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tv") * F.col("ev")).alias("dot"),
+            F.sum(F.col("tv") * F.col("tv")).alias("t2"),
+            F.sum(F.col("ev") * F.col("ev")).alias("e2"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / F.sqrt(F.col("t2") * F.col("e2")), 6).alias(
+                "align_score"
+            ),
+        )
+    )
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -2869,6 +3177,11 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "zorder_layout": q_zorder_layout,
     "substring_dedup": q_substring_dedup,
+    "anchor_text": q_anchor_text,
+    "corpus_overlap": q_corpus_overlap,
+    "corpus_drift": q_corpus_drift,
+    "bpe_merges": q_bpe_merges,
+    "caption_align": q_caption_align,
 }
 
 _JACCARD_ORACLE = """
@@ -3838,6 +4151,190 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 5
+"""
+
+
+# Replay of q_anchor_text: identical edge synthesis to the pagerank
+# oracle, anchor = k-th source token (1-based list index ≡ Spark's
+# 0-based F.get(w, k-1)); same two dst-keyed aggregations + top-1.
+ORACLES["anchor_text"] = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 31 + k.k * 17) % nn.n AS dst,
+         string_split(d.text, ' ')[k.k] AS anchor
+  FROM documents d CROSS JOIN nn CROSS JOIN UNNEST([1, 2, 3, 4]) AS k(k)
+  WHERE (d.doc_id * 31 + k.k * 17) % nn.n <> d.doc_id
+),
+tot AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS inlinks,
+         CAST(count(DISTINCT src) AS BIGINT) AS distinct_src
+  FROM edges GROUP BY dst
+),
+pa AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt FROM edges GROUP BY dst, anchor),
+top AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn
+  FROM pa
+)
+SELECT tot.dst AS dst, tot.inlinks, tot.distinct_src,
+       top.anchor AS top_anchor, top.cnt AS top_anchor_n
+FROM tot JOIN top ON tot.dst = top.dst AND top.rn = 1
+"""
+
+
+# Replay of q_corpus_overlap: overlapping doc_id mod-3 corpora
+# (A = {0,1}, B = {1,2}), exact flags via groupBy-max over distinct
+# texts, per-corpus bottom-128 by md5 order, merged bottom-128 of the
+# sketch union; denominator = |merged| (min(k, union)).
+ORACLES["corpus_overlap"] = """
+WITH base AS (
+  SELECT md5(text) AS h,
+         CASE WHEN doc_id % 3 <= 1 THEN 1 ELSE 0 END AS a,
+         CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+flags AS (
+  SELECT h, max(a) AS in_a, max(b) AS in_b FROM base GROUP BY h
+),
+exact AS (
+  SELECT CAST(sum(in_a * in_b) AS BIGINT) AS inter,
+         CAST(count(*) AS BIGINT) AS uni,
+         CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b
+  FROM flags
+),
+ska AS (SELECT h, 0 AS c FROM flags WHERE in_a = 1 ORDER BY h LIMIT 128),
+skb AS (SELECT h, 1 AS c FROM flags WHERE in_b = 1 ORDER BY h LIMIT 128),
+skf AS (
+  SELECT h,
+         max(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS sk_a,
+         max(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS sk_b
+  FROM (SELECT * FROM ska UNION ALL SELECT * FROM skb) GROUP BY h
+),
+est AS (
+  SELECT CAST(sum(sk_a * sk_b) AS BIGINT) AS both_k,
+         CAST(count(*) AS BIGINT) AS mk
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY h) AS mrk FROM skf
+  ) WHERE mrk <= 128
+)
+SELECT CAST(128 AS INT) AS k, exact.n_a, exact.n_b,
+       round(exact.inter * 1.0 / exact.uni, 6) AS exact_jaccard,
+       round(est.both_k * 1.0 / est.mk, 6) AS est_jaccard
+FROM exact CROSS JOIN est
+"""
+
+
+# Replay of q_corpus_drift: same clamp-12 buckets over parity halves,
+# generated 1..12 spine, Laplace (+1/+12); every float is one expression
+# over integer counts, so the doubles match bit-for-bit before round().
+ORACLES["corpus_drift"] = """
+WITH tok AS (
+  SELECT CAST(doc_id % 2 AS INT) AS c,
+         least(length(t.t), 12) AS bucket
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
+),
+cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM tok GROUP BY bucket
+),
+spine AS (SELECT CAST(range AS INT) AS bucket FROM range(1, 13)),
+filled AS (
+  SELECT spine.bucket,
+         coalesce(cnt.cnt_a, 0) AS cnt_a,
+         coalesce(cnt.cnt_b, 0) AS cnt_b
+  FROM spine LEFT JOIN cnt ON spine.bucket = cnt.bucket
+),
+tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM filled)
+SELECT bucket, cnt_a, cnt_b,
+       round((cnt_a + 1) * 1.0 / (ta + 12), 8) AS p_a,
+       round((cnt_b + 1) * 1.0 / (tb + 12), 8) AS p_b,
+       round(((cnt_a + 1) * 1.0 / (ta + 12)) *
+             ln(((cnt_a + 1) * 1.0 / (ta + 12)) /
+                ((cnt_b + 1) * 1.0 / (tb + 12))), 8) AS kl_term
+FROM filled CROSS JOIN tot
+"""
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled replay of q_bpe_merges: per round, pair counts from the
+    adjacent zip over the double-space corpus, scalar argmax CTE
+    (ORDER BY cnt DESC, w1, w2 LIMIT 1), then the same literal
+    replace(' x  y ' → ' x_y ') — left-to-right non-overlapping in both
+    engines — and a token recount of the merged corpus."""
+    parts = [
+        "WITH c0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s"
+        " FROM documents)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+t{r} AS (SELECT string_split(trim(s), '  ') AS w FROM c{p}),
+p{r} AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM t{r}, UNNEST(range(1, len(w))) AS r(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT w1, w2, cnt FROM p{r} ORDER BY cnt DESC, w1, w2 LIMIT 1),
+c{r} AS (
+  SELECT doc_id,
+         replace(s, ' ' || b{r}.w1 || '  ' || b{r}.w2 || ' ',
+                    ' ' || b{r}.w1 || '_' || b{r}.w2 || ' ') AS s
+  FROM c{p} CROSS JOIN b{r}
+),
+a{r} AS (SELECT CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n FROM c{r})"""
+        )
+    selects = [
+        f"SELECT CAST({r} AS INT) AS round, w1 AS left_tok, w2 AS right_tok,"
+        f" cnt AS pair_n, (SELECT n FROM a{r}) AS tokens_after FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES["bpe_merges"] = _bpe_oracle_sql()
+
+
+# Replay of q_caption_align: same md5-nibble signed bits (MSB-first),
+# same (doc_id, j) elementwise join against the unnested embedding;
+# integer text vectors, one rounded cosine at the end (the three sums
+# are 64-term float folds — round(6) sits far above their ~1e-15
+# order noise).
+ORACLES["caption_align"] = """
+WITH toks AS (
+  SELECT doc_id, md5(t) AS hx
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')[1:8]) AS t FROM documents) u
+),
+sb AS (
+  SELECT doc_id, CAST(r.j AS INT) AS j,
+         CASE WHEN ((CASE WHEN substr(hx, CAST(r.j // 4 AS INT) + 1, 1) >= 'a'
+                          THEN ascii(substr(hx, CAST(r.j // 4 AS INT) + 1, 1)) - 87
+                          ELSE ascii(substr(hx, CAST(r.j // 4 AS INT) + 1, 1)) - 48
+                     END) >> (3 - (r.j % 4))) & 1 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks, UNNEST(range(0, 64)) AS r(j)
+),
+tv AS (
+  SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS tv FROM sb GROUP BY doc_id, j
+),
+ev AS (
+  SELECT vec_id AS doc_id, CAST(r.j AS INT) AS j,
+         CAST(embedding[CAST(r.j AS INT) + 1] AS DOUBLE) AS ev
+  FROM embeddings, UNNEST(range(0, 64)) AS r(j)
+),
+dots AS (
+  SELECT tv.doc_id,
+         sum(tv.tv * ev.ev) AS dot,
+         sum(tv.tv * tv.tv) AS t2,
+         sum(ev.ev * ev.ev) AS e2
+  FROM tv JOIN ev ON tv.doc_id = ev.doc_id AND tv.j = ev.j
+  GROUP BY tv.doc_id
+)
+SELECT doc_id, round(dot / sqrt(t2 * e2), 6) AS align_score FROM dots
 """
 
 
