@@ -960,6 +960,87 @@ class CrawlEngine:
             "filter": filter_mode,
         }
 
+    def add_seeds(
+        self,
+        spark: SparkSession,
+        site_graph: DataFrame,
+        extra_state: dict | None = None,
+    ) -> dict:
+        """Mid-crawl seed injection: append NEW frontier rows from an
+        incremental site-graph delta — the continuous-crawl operation the
+        reference performs implicitly by re-running discovery on every
+        service restart (scraper_service.py:105-143 restarts re-scan the
+        listing; here new listing/seed batches arrive WHILE the crawl
+        runs, e.g. from a sitemap refresh or the streaming bridge in
+        streaming/seeds.py).
+
+        Semantics:
+
+          * the delta is canonicalized/hashed through the same
+            ``seed_frontier_from_site`` path as ``init`` (priority = page,
+            so injected pages slot into the global priority order);
+          * in-delta duplicates collapse (reference P1 in-page dedupe) and
+            rows whose url_hash ALREADY exists in the frontier — any
+            status — are dropped (idempotent under replay; a URL the crawl
+            already finished is not re-opened: that is ``requeue``'s job);
+          * already-SEEN urls (warm-start imports) are NOT filtered here —
+            the batch path marks them skipped_seen exactly like init-time
+            seeds (reference P2 semantics preserved);
+          * appended rows bucket-merge into the frontier (O(touched
+            buckets) write, manifest reuse for the rest) and the discovery
+            plan's ``pending_detail`` counter grows by the rows added;
+          * ``extra_state`` entries land in the SAME maintenance
+            checkpoint — the streaming bridge stores its batch-id fence
+            there, making ingest exactly-once under foreachBatch replay.
+
+        Quiesced single-writer contract like requeue: call between
+        ``run()`` calls, never concurrently with a batch. Filter capacity
+        note: injected URLs insert into the seen filter when fetched, so
+        size ``bloom_capacity`` at init for the expected TOTAL (or
+        ``regrow_filter`` when ``seen_count`` nears capacity)."""
+        from ..operators.frontier import seed_frontier_from_site
+
+        ck = self.checkpoints.latest()
+        if ck is None:
+            raise RuntimeError("add_seeds: no checkpoint — init() first")
+        v = dict(ck["versions"])
+        fresh = (
+            seed_frontier_from_site(site_graph)
+            .dropDuplicates(["url_hash"])
+            .withColumn("bucket", _bucket(F.col("priority")))
+        )
+        existing = self.frontier.read(spark, int(v["frontier"]))
+        if existing is not None:
+            fresh = fresh.join(
+                existing.select("url_hash"), "url_hash", "left_anti"
+            )
+        fresh = fresh.localCheckpoint(eager=True)
+        n_added = fresh.count()
+        if n_added > 0:
+            touched = [
+                r["bucket"] for r in fresh.select("bucket").distinct().collect()
+            ]
+            old = self.frontier.read_buckets(spark, touched, int(v["frontier"]))
+            merged = fresh if old is None else (
+                old.withColumn("bucket", _bucket(F.col("priority"))).unionByName(fresh)
+            )
+            v["frontier"] = self.frontier.commit_merge_buckets(
+                merged, "bucket", touched,
+                base_version=int(v["frontier"]), origin="add_seeds",
+            )
+        state = {
+            **self._carry_state(ck),
+            **(extra_state or {}),
+            "versions": v,
+            "next_seq": ck["next_seq"],
+            "logical_s": ck["logical_s"],
+            "seen_count": ck["seen_count"],
+        }
+        if "pending_detail" in ck:
+            state["pending_detail"] = int(ck["pending_detail"]) + n_added
+        self.checkpoints.commit(int(ck["batch_id"]) + 1, state)
+        return {"added": n_added}
+
     def recrawl_stale(
         self,
         spark: SparkSession,
