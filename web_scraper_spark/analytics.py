@@ -1652,51 +1652,13 @@ def q_image_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side from the datagen parameters (no Spark, no blocks), so the
     gate proves the two-level decomposition ≡ the per-bucket spec.
     """
-    import pandas as pd
-
     from . import datagen, schemas
-    from .functions.multimodal import SHARD_CAPACITY_BYTES, aspect_bucket_col
+    from .functions.multimodal import pack_shards
 
     payload = spark.createDataFrame(
         datagen.gen_varied_payload_pdf(120), schema=schemas.PAYLOAD_SCHEMA
     )
-    df = payload.select(
-        "image_id",
-        aspect_bucket_col(F.col("w"), F.col("h")).alias("bucket"),
-        F.length("bytes").cast("int").alias("nbytes"),
-        (F.col("image_id").cast("long") / F.lit(16)).cast("long").alias("__blk"),
-    )
-    lvl1 = (
-        df.groupBy("bucket", "__blk")
-        .agg(F.sum("nbytes").alias("__blk_bytes"))
-        .collect()
-    )
-    base, run = [], {}
-    for r in sorted(lvl1, key=lambda r: (r["bucket"], r["__blk"])):
-        base.append((r["bucket"], r["__blk"], run.get(r["bucket"], 0)))
-        run[r["bucket"]] = run.get(r["bucket"], 0) + r["__blk_bytes"]
-    offsets = spark.createDataFrame(
-        pd.DataFrame(base, columns=["bucket", "__blk", "__base"])
-    )
-    w = (
-        Window.partitionBy("bucket", "__blk")
-        .orderBy("image_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        df.join(F.broadcast(offsets), ["bucket", "__blk"])
-        .withColumn(
-            "bucket_off",
-            (F.col("__base") + F.coalesce(F.sum("nbytes").over(w), F.lit(0))).cast(
-                "long"
-            ),
-        )
-        .withColumn(
-            "shard_id",
-            F.floor(F.col("bucket_off") / F.lit(SHARD_CAPACITY_BYTES)).cast("int"),
-        )
-        .select("image_id", "bucket", "nbytes", "bucket_off", "shard_id")
-    )
+    return pack_shards(payload)
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,6 +82,70 @@ def aspect_bucket_col(w, h):
 #: bucket; a production corpus uses ~100 MB–1 GB here.
 SHARD_CAPACITY_BYTES = 65536
 
+def pack_shards(
+    payload: DataFrame,
+    capacity: int = SHARD_CAPACITY_BYTES,
+    block: int = 16,
+) -> DataFrame:
+    """Training-shard assignment (the WebDataset shard writer's planning
+    step): within each aspect bucket, lay images out in deterministic
+    image_id order and cut a new shard every ``capacity`` payload bytes —
+    shard_id = floor(exclusive running byte offset / capacity).
+
+    Two-level offset decomposition instead of one window per bucket (the
+    same trick rank_frontier_scalable uses for the crawl-order seq):
+    block = image_id range, a groupBy computes per-(bucket, block) byte
+    sums (one tiny row per block), the driver cumulates exclusive base
+    offsets per bucket in block order and broadcasts them back, and the
+    intra-block running sum is a window partitioned by (bucket, block) —
+    parallelism = #blocks, serial work O(block_size). Size ``block`` so
+    #blocks ≈ sqrt(n); nest another level for 10^9+ images.
+
+    Returns (image_id, bucket, nbytes, bucket_off, shard_id). Consumed by
+    analytics.q_image_shard_pack (oracle: driver-side cumsum from datagen
+    params proves the decomposition ≡ the per-bucket spec) and
+    sources/webdataset.write_webdataset (the materializing sink)."""
+    from pyspark.sql import Window
+
+    df = payload.select(
+        "image_id",
+        aspect_bucket_col(F.col("w"), F.col("h")).alias("bucket"),
+        F.length("bytes").cast("int").alias("nbytes"),
+        (F.col("image_id").cast("long") / F.lit(block)).cast("long").alias("__blk"),
+    )
+    lvl1 = (
+        df.groupBy("bucket", "__blk")
+        .agg(F.sum("nbytes").alias("__blk_bytes"))
+        .collect()
+    )
+    base, run = [], {}
+    for r in sorted(lvl1, key=lambda r: (r["bucket"], r["__blk"])):
+        base.append((r["bucket"], r["__blk"], run.get(r["bucket"], 0)))
+        run[r["bucket"]] = run.get(r["bucket"], 0) + r["__blk_bytes"]
+    offsets = payload.sparkSession.createDataFrame(
+        pd.DataFrame(base, columns=["bucket", "__blk", "__base"])
+    )
+    w = (
+        Window.partitionBy("bucket", "__blk")
+        .orderBy("image_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(F.broadcast(offsets), ["bucket", "__blk"])
+        .withColumn(
+            "bucket_off",
+            (F.col("__base") + F.coalesce(F.sum("nbytes").over(w), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("bucket_off") / F.lit(capacity)).cast("int"),
+        )
+        .select("image_id", "bucket", "nbytes", "bucket_off", "shard_id")
+    )
+
+
 #: Image quality-gate thresholds (the image twin of the Gopher/C4-style
 #: text gate): flags evaluate on the ROUNDED (4 dp) brightness/contrast
 #: the decode pass emits, so the oracle compares identical values.
