@@ -128,6 +128,9 @@ CROSS_JOIN_OK = {
     "hll_distinct",
     "quantile_sketch",
     "zorder_layout",
+    # bounded 1-row/12-row broadcast sides (totals joined onto buckets):
+    "corpus_overlap",
+    "corpus_drift",
 }
 
 
@@ -187,6 +190,32 @@ def test_cms_sketch_aggregates_map_side(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_corpus_overlap_bottom_k_is_take_ordered(spark):
+    # the per-corpus bottom-k sketches must compile to
+    # TakeOrderedAndProject (distributed per-partition bottom-k), never a
+    # global Sort of the corpus
+    plan = _plan(spark, "corpus_overlap")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_anchor_text_stays_jvm_side_and_bounded(spark):
+    # two dst-keyed aggs + top-1 window + join: all JVM-side column work,
+    # exchange count pinned (a regression re-shuffling the edge table per
+    # consumer would exceed it)
+    plan = _plan(spark, "anchor_text")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 5, plan
+
+
+def test_caption_align_single_join_shape(spark):
+    # text-side agg, embedding posexplode, one (doc, dim) equi-join, one
+    # per-doc agg — three exchanges total (incl. broadcasts), no Python
+    plan = _plan(spark, "caption_align")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 3, plan
 
 
 def test_no_cartesian_products_anywhere(spark):
