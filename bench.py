@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "corpus_drift",
     "bpe_merges",
     "caption_align",
+    "inverted_index",
+    "bm25_search",
 ]
 
 

@@ -3063,6 +3063,99 @@ def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the IR backbone a crawled corpus
+    feeds (every search/dedup/decontamination system downstream of a
+    crawl starts here): per term, document frequency, total term
+    frequency, and a capped posting list (first 8 doc_ids ascending,
+    comma-joined — string-encoded so the value gate compares a scalar).
+
+    Plan: one explode → one (term, doc) pre-aggregation (map-side
+    combined: within-doc repeats collapse before the shuffle) → one
+    per-term aggregation whose posting list is sort_array over
+    collect_list — deterministic because the collected set is the
+    DISTINCT doc list. At 10^10 docs the cap moves into a window over
+    (term ORDER BY doc_id) before collecting, bounding skewed terms; the
+    df/tf aggregates are the same two-level combine either way."""
+    d = _t(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return td.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+#: BM25 demo query terms + standard constants (k1, b)
+_BM25_TERMS = ("spark", "join", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed conjunctive-OR
+    term set — the scoring half of the inverted index (Robertson et al.);
+    the crawl-to-search loop closed: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·len/avglen)), idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Every input to the float math is an exact integer (tf, df, N, token
+    counts; avglen = exact integer sum / count), so both engines compute
+    bit-identical doubles — the only cross-engine float hazard would be a
+    float SUM, and the per-doc score sums ≤3 terms in a fixed fold shape.
+    Plan: the term filter pushes into the scan side of one (term, doc)
+    aggregation; df and the length table broadcast onto it (both
+    vocab/corpus-stat sized); the final top-20 is TakeOrderedAndProject.
+    At scale this is a textbook DAAT scorer: work is O(postings of the
+    query terms), never O(corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    n_docs = d.count()
+    avgdl_row = lens.agg(
+        F.sum("dl").alias("s"), F.count("*").alias("c")
+    ).collect()[0]
+    avgdl = avgdl_row["s"] / avgdl_row["c"]
+    td = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = td.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = _BM25_K1, _BM25_B
+    score_t = idf * (
+        (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        td.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(lens), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(score_t), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc_id", "bm25", "n_terms_hit")
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3144,6 +3237,8 @@ QUERIES = {
     "corpus_drift": q_corpus_drift,
     "bpe_merges": q_bpe_merges,
     "caption_align": q_caption_align,
+    "inverted_index": q_inverted_index,
+    "bm25_search": q_bm25_search,
 }
 
 _JACCARD_ORACLE = """
@@ -4297,6 +4392,69 @@ dots AS (
   GROUP BY tv.doc_id
 )
 SELECT doc_id, round(dot / sqrt(t2 * e2), 6) AS align_score FROM dots
+"""
+
+
+# Replay of q_inverted_index: same (term, doc) pre-aggregation, postings
+# = first 8 distinct doc_ids ascending, comma-joined.
+ORACLES["inverted_index"] = """
+WITH td AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents) u
+  GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       array_to_string(
+         list_transform(list_sort(list(doc_id))[1:8], x -> CAST(x AS VARCHAR)),
+         ','
+       ) AS postings_head
+FROM td GROUP BY term
+"""
+
+
+# Replay of q_bm25_search: identical constants and expression shape —
+# every float input is an exact integer (tf, df, N, doc lengths; avgdl =
+# integer sum / count), so the doubles match bit-for-bit; the per-doc
+# score sum folds <= 3 terms (round(6) far above its order noise).
+ORACLES["bm25_search"] = f"""
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM lens) AS avgdl
+  FROM documents
+),
+td AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents) u
+  WHERE term IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+  GROUP BY term, doc_id
+),
+df_t AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+scored AS (
+  SELECT td.doc_id,
+         sum(
+           ln(1.0 + (stats.n - df_t.df + 0.5) / (df_t.df + 0.5))
+           * ((td.tf * ({_BM25_K1} + 1))
+              / (td.tf + {_BM25_K1} * (1 - {_BM25_B}
+                 + {_BM25_B} * lens.dl / stats.avgdl)))
+         ) AS s,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM td
+  JOIN df_t ON td.term = df_t.term
+  JOIN lens ON td.doc_id = lens.doc_id
+  CROSS JOIN stats
+  GROUP BY td.doc_id
+)
+SELECT rank, doc_id, bm25, n_terms_hit FROM (
+  SELECT CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, round(s, 6) AS bm25, n_terms_hit
+  FROM scored
+) WHERE rank <= 20
 """
 
 
