@@ -152,20 +152,104 @@ def priority_cutoff(frontier: DataFrame, batch_size: int) -> list[tuple[int, int
     return out
 
 
+def priority_offsets(frontier: DataFrame, batch_size: int) -> DataFrame | None:
+    """Distributed phase 1: the contributing-priority offset table as a
+    DATAFRAME — same rows ``priority_cutoff`` returns as a list, with the
+    O(contributing priorities) driver work removed. At a production batch
+    (10^5-10^6 contributing priorities) the list form's collect → Python
+    cumulation → ``createDataFrame`` round-trip is a multi-second SERIAL
+    slice of every batch (measured as the schedule leg's Amdahl floor on
+    the 8M-row bench batch); here the driver only ever cumulates RANGE
+    totals (≤ distinct-priorities/256 rows):
+
+      1. per-range counts collect + descending cumulation — unchanged,
+         bounded by ranges;
+      2. per-priority counts of the candidate ranges stay EXECUTOR-side:
+         the exclusive offset is the range's base (a broadcast-joined
+         ≤256-row table) plus a running sum over a window PARTITIONED BY
+         RANGE (parallel across ranges, ≤256 rows per partition);
+      3. the early-stop predicate becomes ``__offset < batch_size`` —
+         algebraically identical to the loop's "include while the
+         preceding total is under batch_size".
+
+    Returns (priority, __offset) localCheckpointed (frozen + reusable for
+    the min/bucket/broadcast consumers without re-scanning the frontier),
+    or None when no rows are eligible."""
+    spark = frontier.sparkSession
+    rng = F.shiftright(F.col("priority"), _RANGE_SHIFT)
+    range_rows = frontier.groupBy(rng.alias("__range")).count().collect()
+    if not range_rows:
+        return None
+    range_rows.sort(key=lambda r: r["__range"], reverse=True)
+    total = 0
+    bases = []
+    for r in range_rows:
+        if total >= batch_size:
+            break
+        bases.append((int(r["__range"]), total))
+        total += int(r["count"])
+    lo_priority = min(b for b, _ in bases) << _RANGE_SHIFT
+    base_df = spark.createDataFrame(bases, "__range long, __base long")
+    w = (
+        Window.partitionBy("__range")
+        .orderBy(F.col("priority").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        frontier.filter(F.col("priority") >= lo_priority)
+        .groupBy("priority")
+        .count()
+        .withColumn("__range", rng)
+        .join(F.broadcast(base_df), "__range")
+        .withColumn(
+            "__offset",
+            (F.col("__base") + F.coalesce(F.sum("count").over(w), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("__offset") < batch_size)
+        .select("priority", "__offset")
+        .localCheckpoint(eager=True)
+    )
+
+
+def contributing_buckets(offsets: DataFrame, n_buckets: int) -> list[int]:
+    """The frontier buckets holding the contributing priorities — the
+    partition-pruning input for the phase-2 snapshot read. Bounded
+    collect: ≤ ``n_buckets`` rows regardless of batch or frontier size."""
+    return sorted(
+        int(r["b"])
+        for r in offsets.select(
+            F.pmod(F.col("priority"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+
+
 def rank_slice(
-    frontier: DataFrame, contributing: list[tuple[int, int]], batch_size: int
+    frontier: DataFrame,
+    contributing: "list[tuple[int, int]] | DataFrame",
+    batch_size: int,
 ) -> DataFrame:
     """Phase 2: rank the contributing-priority slice into the micro-batch.
 
     ``frontier`` may be (should be, at scale) a bucket-pruned read covering
     at least the contributing priorities. Ranking is a parallel
     per-priority window + broadcast-joined offsets — exact global order
-    with no single-reducer sort."""
+    with no single-reducer sort. ``contributing`` is either the offset
+    DataFrame from :func:`priority_offsets` (the at-scale form) or the
+    list from :func:`priority_cutoff` (bounded callers, e.g. the discovery
+    plan's page selection)."""
     spark = frontier.sparkSession
-    cutoff = min(p for p, _ in contributing)
-    offsets = spark.createDataFrame(
-        [(p, o) for p, o in contributing], "priority int, __offset long"
-    )
+    if isinstance(contributing, DataFrame):
+        offsets = contributing
+        cutoff = offsets.agg(F.min("priority")).collect()[0][0]
+    else:
+        cutoff = min(p for p, _ in contributing)
+        offsets = spark.createDataFrame(
+            [(p, o) for p, o in contributing], "priority int, __offset long"
+        )
     w = Window.partitionBy("priority").orderBy(
         F.col("position").asc(), F.col("url_hash").asc()
     )
@@ -180,13 +264,13 @@ def rank_slice(
 
 def take_batch(frontier: DataFrame, batch_size: int) -> DataFrame:
     """The next micro-batch: top ``batch_size`` rows in crawl order —
-    priority_cutoff + rank_slice over the same (unpruned) frontier. The
+    priority_offsets + rank_slice over the same (unpruned) frontier. The
     engine calls the two phases separately so phase 2 runs on a
     bucket-pruned snapshot read instead of the full frontier."""
-    contributing = priority_cutoff(frontier, batch_size)
-    if not contributing:
+    offsets = priority_offsets(frontier, batch_size)
+    if offsets is None:
         return frontier.withColumn("seq", F.lit(None).cast("long"))
-    return rank_slice(frontier, contributing, batch_size)
+    return rank_slice(frontier, offsets, batch_size)
 
 
 def seed_frontier_from_site(site_graph: DataFrame) -> DataFrame:

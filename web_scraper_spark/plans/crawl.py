@@ -57,7 +57,8 @@ from ..operators.dedup import mark_seen
 from ..operators.frontier import (
     eligible,
     order_cols,
-    priority_cutoff,
+    contributing_buckets,
+    priority_offsets,
     rank_slice,
     seed_frontier_from_site,
 )
@@ -398,10 +399,15 @@ class CrawlEngine:
                 spark, ck, v, batch_id, next_seq, seen_count
             )
         frontier_meta = frontier_full.select("priority", "status", "next_attempt_ts")
-        contributing = priority_cutoff(
+        # Phase 1 (cutoff): DISTRIBUTED offset table (priority_offsets) —
+        # driver work is O(priority ranges), never O(contributing
+        # priorities); at a 10^6-contributing-priority production batch
+        # the old list form's collect + Python cumulate + createDataFrame
+        # was a serial multi-second slice of every batch.
+        offsets = priority_offsets(
             eligible(frontier_meta, logical_now=now), self.batch_size
         )
-        if not contributing:
+        if offsets is None:
             # nothing eligible now — if retryable failures exist in the
             # future, jump the logical clock to the earliest retry time.
             return self._clock_jump_or_done(
@@ -409,11 +415,13 @@ class CrawlEngine:
             )
         # Phase 2 (rank): manifest-level partition pruning — read ONLY the
         # frontier buckets that hold contributing priorities. Scan volume
-        # is O(batch priority buckets), not O(frontier).
-        need_buckets = sorted({p % N_FRONTIER_BUCKETS for p, _ in contributing})
+        # is O(batch priority buckets), not O(frontier); the bucket list
+        # is a ≤N_FRONTIER_BUCKETS-row collect off the checkpointed
+        # offsets, not a frontier pass.
+        need_buckets = contributing_buckets(offsets, N_FRONTIER_BUCKETS)
         pruned = self.frontier.read_buckets(spark, need_buckets, v["frontier"])
         batch = rank_slice(
-            eligible(pruned, logical_now=now), contributing, self.batch_size
+            eligible(pruned, logical_now=now), offsets, self.batch_size
         ).drop("seq")
 
         # -- annotate lazily, pin once --------------------------------------
