@@ -81,10 +81,16 @@ def write_webdataset(
     payload: DataFrame,
     out_dir: str,
     capacity: int = SHARD_CAPACITY_BYTES,
+    prefix: str = "",
 ) -> DataFrame:
     """Materialize the payload table as WebDataset tar shards under
-    ``out_dir`` (``<bucket>-<shard_id:05d>.tar``). Returns one result row
-    per shard written (path, item count, payload bytes, tar sha256).
+    ``out_dir`` (``[<prefix>-]<bucket>-<shard_id:05d>.tar``). Returns one
+    result row per shard written (path, item count, payload bytes, tar
+    sha256). ``prefix`` namespaces a shard GENERATION: an incremental
+    export writes each CDC delta as its own generation (see
+    tests/test_webdataset.py::test_incremental_export_from_cdc), so
+    earlier generations' tars are never rewritten — append-only delivery
+    a training loader can tail.
 
     Plan: pack_shards assigns (bucket, shard_id); a single join brings the
     assignment back to the payload rows (broadcast — the assignment is
@@ -107,9 +113,10 @@ def write_webdataset(
         if len(pdf) == 0:
             return
         out = []
+        stem = f"{prefix}-" if prefix else ""
         for (bucket, shard_id), grp in pdf.groupby(["bucket", "shard_id"]):
             grp = grp.sort_values("image_id")
-            path = os.path.join(out_dir, f"{bucket}-{int(shard_id):05d}.tar")
+            path = os.path.join(out_dir, f"{stem}{bucket}-{int(shard_id):05d}.tar")
             buf = io.BytesIO()
             with tarfile.open(
                 fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
