@@ -3156,6 +3156,36 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the link graph (operators/graph.hits) —
+    the discovery-side complement to q_pagerank: authority ranks fetch
+    targets, hub ranks which listing pages a discovery crawl re-scans
+    first. Same deterministic edge synthesis as q_pagerank so the oracle
+    rebuilds the graph; 4 fixed rounds, max-normalized (order-independent
+    scalar — see the operator docstring for why not L2).
+
+    Scale: per half-round one endpoint-keyed join + one groupBy-sum —
+    Pregel shape, lineage cut per round; the only collects are the 1-row
+    per-half-round maxima."""
+    from .operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node_id"))
+    k = F.explode(F.array([F.lit(i) for i in (1, 2, 3, 4)])).alias("k")
+    edges = (
+        d.select(F.col("doc_id").alias("src"), k)
+        .select("src", ((F.col("src") * 31 + F.col("k") * 17) % n).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    out = hits(nodes, edges, n_iter=4)
+    return out.select(
+        F.col("node_id").alias("doc_id"),
+        F.round("hub", 8).alias("hub"),
+        F.round("authority", 8).alias("authority"),
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3239,6 +3269,7 @@ QUERIES = {
     "caption_align": q_caption_align,
     "inverted_index": q_inverted_index,
     "bm25_search": q_bm25_search,
+    "hits": q_hits,
 }
 
 _JACCARD_ORACLE = """
@@ -4456,6 +4487,57 @@ SELECT rank, doc_id, bm25, n_terms_hit FROM (
   FROM scored
 ) WHERE rank <= 20
 """
+
+
+def _hits_oracle(n_iter: int = 4) -> str:
+    """Unrolled replay of q_hits: same edge synthesis as the pagerank
+    oracle, per round an authority half (join on src, sum hubs, divide by
+    the scalar max) then a hub half (join on dst, sum authorities, divide
+    by max) — max normalization keeps every divisor order-independent."""
+    head = """
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + k.k * 17) % nn.n AS dst
+  FROM documents d CROSS JOIN nn CROSS JOIN UNNEST([1, 2, 3, 4]) AS k(k)
+  WHERE (d.doc_id * 31 + k.k * 17) % nn.n <> d.doc_id
+),
+h0 AS (SELECT doc_id AS node, 1.0 AS hub FROM documents)"""
+    parts = [head]
+    for r in range(1, n_iter + 1):
+        p = r - 1
+        parts.append(
+            f""",
+ar{r} AS (
+  SELECT e.dst AS node, sum(h{p}.hub) AS raw
+  FROM edges e JOIN h{p} ON e.src = h{p}.node GROUP BY e.dst
+),
+a{r} AS (
+  SELECT n.doc_id AS node,
+         coalesce(ar{r}.raw, 0.0) / (SELECT max(raw) FROM ar{r}) AS auth
+  FROM nodes n LEFT JOIN ar{r} ON n.doc_id = ar{r}.node
+),
+hr{r} AS (
+  SELECT e.src AS node, sum(a{r}.auth) AS raw
+  FROM edges e JOIN a{r} ON e.dst = a{r}.node GROUP BY e.src
+),
+h{r} AS (
+  SELECT n.doc_id AS node,
+         coalesce(hr{r}.raw, 0.0) / (SELECT max(raw) FROM hr{r}) AS hub
+  FROM nodes n LEFT JOIN hr{r} ON n.doc_id = hr{r}.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h{n_iter}.node AS doc_id,
+       round(h{n_iter}.hub, 8) AS hub,
+       round(a{n_iter}.auth, 8) AS authority
+FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.node = a{n_iter}.node"""
+    )
+    return "".join(parts)
+
+
+ORACLES["hits"] = _hits_oracle()
 
 
 def get_oracles() -> dict[str, str]:

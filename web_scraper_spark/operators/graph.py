@@ -83,6 +83,76 @@ def pagerank(
     return ranks.select(F.col("__node").alias(node_col), "pr")
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    node_col: str = "node_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node_id, hub, authority) after ``n_iter`` HITS rounds (Kleinberg)
+    — the crawl-frontier complement to :func:`pagerank`: AUTHORITY ranks
+    fetch targets, HUB ranks the listing pages a discovery plan should
+    re-scan first (a high-hub page's outlinks reach many authorities —
+    the reference's listing/detail split is exactly a hand-labeled
+    hub/authority partition, page_navigator.py vs
+    video_info_extractor.py).
+
+    Per half-round: one join keyed on an endpoint + one groupBy-sum on
+    the other — the same Pregel shape and lineage-cut discipline as
+    pagerank. Normalization is by the MAX (not the L2/L1 norm): max is
+    order-independent, so both engines divide by bit-identical scalars
+    and the whole pipeline stays replayable by an unrolled-CTE oracle
+    (an L2 norm would inject a full float sum whose order differs). The
+    scalar max per half-round is a 1-row aggregate collect — bounded by
+    design, like kmeans' centroid pull.
+
+    Nodes with no in-links get authority 0, no out-links hub 0 (left
+    joins onto the node set keep them present)."""
+    ed = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).localCheckpoint(eager=True)
+    h = nodes.select(
+        F.col(node_col).alias("__node"), F.lit(1.0).alias("hub")
+    ).localCheckpoint(eager=True)
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            ed.join(h, ed["__src"] == h["__node"])
+            .groupBy(F.col("__dst").alias("__node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_max = a_raw.agg(F.max("raw")).collect()[0][0]
+        a = (
+            nodes.select(F.col(node_col).alias("__node"))
+            .join(a_raw, "__node", "left")
+            .select(
+                "__node",
+                (F.coalesce("raw", F.lit(0.0)) / F.lit(float(a_max))).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            ed.join(a, ed["__dst"] == a["__node"])
+            .groupBy(F.col("__src").alias("__node"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h_max = h_raw.agg(F.max("raw")).collect()[0][0]
+        h = (
+            nodes.select(F.col(node_col).alias("__node"))
+            .join(h_raw, "__node", "left")
+            .select(
+                "__node",
+                (F.coalesce("raw", F.lit(0.0)) / F.lit(float(h_max))).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h.join(a, "__node").select(
+        F.col("__node").alias(node_col), "hub", F.col("auth").alias("authority")
+    )
+
+
 def site_graph_from_pagerank(ranked: DataFrame, scale: int = 100) -> DataFrame:
     """(url, pr) rows → the site-graph shape ``CrawlEngine.init`` consumes
     (url, image_id, page, position): link authority becomes crawl
