@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "caption_align",
     "inverted_index",
     "bm25_search",
+    "hits",
 ]
 
 

@@ -218,6 +218,33 @@ def test_caption_align_single_join_shape(spark):
     assert plan.count("Exchange") <= 3, plan
 
 
+def test_bm25_no_corpus_broadcast_and_take_ordered(spark):
+    # the r3 scale bugs this shape forbids: (a) a one-row-per-document
+    # length table in a BroadcastExchange (executor OOM at 10^10 docs) —
+    # dl now rides the postings scan, so the ONLY broadcast is the
+    # ≤3-row per-query-term df table; (b) top-20 via a global
+    # single-partition window sort — must be TakeOrderedAndProject
+    plan = _plan(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan, f"top-20 is a global sort:\n{plan}"
+    assert plan.count("BroadcastExchange") <= 1, (
+        f"corpus-sized side crept back into a broadcast:\n{plan}"
+    )
+    assert "EvalPython" not in plan
+
+
+def test_inverted_index_caps_postings_before_collect(spark):
+    # the posting-list cap must be a row_number window BEFORE the
+    # collect_list (bounded agg buffer), and the window's term-keyed
+    # exchange must be reused by the final groupBy: explode→(term,doc)
+    # agg→window→agg is exactly two exchanges
+    plan = _plan(spark, "inverted_index")
+    assert "row_number" in plan, f"posting cap not windowed:\n{plan}"
+    assert plan.count("Exchange") <= 2, (
+        f"window/groupBy term-clustering reuse broke:\n{plan}"
+    )
+    assert "EvalPython" not in plan
+
+
 def test_no_cartesian_products_anywhere(spark):
     bad = []
     for name, fn in analytics.QUERIES.items():

@@ -108,14 +108,53 @@ def test_streamed_crawl_interleaved_work(streamed):
 
 def test_replay_after_stream_checkpoint_loss_is_noop(streamed):
     """Losing the stream's own checkpoint directory forces a full replay
-    of every file; the engine-side fence must reject all of it."""
+    of every file under a NEW query lineage. The raw batch-id fence no
+    longer applies (ids renumber from 0 — see ADVICE r3: skipping here
+    silently dropped genuinely-new batches); instead the replay falls
+    through to add_seeds, whose url_hash anti-join makes frontier STATE a
+    no-op: zero added, frontier version unchanged, pending unchanged. A
+    maintenance checkpoint adopting the new lineage id IS written."""
     spark, _, eng, _, site, seed_dir, ck_dir = streamed
     before = eng.checkpoints.latest()
     shutil.rmtree(ck_dir)
     n = seed_stream_pass(spark, eng, seed_dir, ck_dir + "_replay")
     assert n == 0
     after = eng.checkpoints.latest()
-    assert int(after["batch_id"]) == int(before["batch_id"])
+    assert after["versions"]["frontier"] == before["versions"]["frontier"]
+    assert after.get("pending_detail") == before.get("pending_detail")
+    # the fence re-anchored to the new stream lineage
+    assert after.get("seed_stream_query_id") is not None
+    assert after.get("seed_stream_query_id") != before.get("seed_stream_query_id")
+
+
+def test_new_files_after_stream_checkpoint_loss_are_ingested(spark, tmp_path):
+    """The ADVICE r3 scenario end-to-end: consume a seed drop, lose the
+    stream checkpoint (ids renumber from 0), drop genuinely NEW files —
+    they must land in the frontier, not be fenced out as 'replays'."""
+    tmp_root = str(tmp_path)
+    site, robots, ppath, faults = _fixture(spark, tmp_root)
+    eng = CrawlEngine(
+        os.path.join(tmp_root, "lossy"), batch_size=BATCH, n_partitions=8,
+        bloom_capacity=4 * N_PAGES * VPP,
+    )
+    eng.attach_store(ppath, faults)
+    eng.init(site.filter(F.col("page") <= 2), robots)
+    seed_dir = os.path.join(tmp_root, "feed")
+    ck_dir = os.path.join(tmp_root, "ck")
+    os.makedirs(seed_dir, exist_ok=True)
+    site.filter(F.col("page") == 3).write.mode("append").parquet(seed_dir)
+    n1 = seed_stream_pass(spark, eng, seed_dir, ck_dir)
+    assert n1 == VPP
+    fence_before = int(eng.checkpoints.latest()["seed_stream_batch_id"])
+    shutil.rmtree(ck_dir)  # stream checkpoint gone — batch ids restart at 0
+    site.filter(F.col("page").isin(4, 5)).write.mode("append").parquet(seed_dir)
+    n2 = seed_stream_pass(spark, eng, seed_dir, ck_dir)
+    assert n2 == 2 * VPP, (
+        f"new seed files fenced out after checkpoint loss (fence was "
+        f"{fence_before}) — at-most-once regression"
+    )
+    # and a THIRD pass with nothing new is a pure no-op again
+    assert seed_stream_pass(spark, eng, seed_dir, ck_dir) == 0
 
 
 def test_add_seeds_idempotent_and_counted(spark, tmp_path):

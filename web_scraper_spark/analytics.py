@@ -3071,24 +3071,33 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined — string-encoded so the value gate compares a scalar).
 
     Plan: one explode → one (term, doc) pre-aggregation (map-side
-    combined: within-doc repeats collapse before the shuffle) → one
-    per-term aggregation whose posting list is sort_array over
-    collect_list — deterministic because the collected set is the
-    DISTINCT doc list. At 10^10 docs the cap moves into a window over
-    (term ORDER BY doc_id) before collecting, bounding skewed terms; the
-    df/tf aggregates are the same two-level combine either way."""
+    combined: within-doc repeats collapse before the shuffle) → a
+    row_number window over (term ORDER BY doc_id) caps the posting list
+    BEFORE any collect (a stopword's aggregation buffer holds ≤8 ids —
+    never the full posting list; the window sort spills, a collect_list
+    buffer does not) → one per-term aggregation. The window's
+    partitionBy(term) exchange is the same key the final groupBy needs,
+    so the cap adds a sort but no extra shuffle. df/tf are the same
+    two-level combine over all rows; only the collected list is capped.
+    Shape pinned in tests/test_plans.py (no unbounded collect buffer)."""
     d = _t(spark, sf_dir, "documents")
     td = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    return td.groupBy("term").agg(
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = td.withColumn("rn", F.row_number().over(w))
+    return capped.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("tf_total"),
         F.array_join(
             F.transform(
-                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= 8, F.col("doc_id"))
+                    )
+                ),
                 lambda x: x.cast("string"),
             ),
             ",",
@@ -3111,22 +3120,33 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; avglen = exact integer sum / count), so both engines compute
     bit-identical doubles — the only cross-engine float hazard would be a
     float SUM, and the per-doc score sums ≤3 terms in a fixed fold shape.
-    Plan: the term filter pushes into the scan side of one (term, doc)
-    aggregation; df and the length table broadcast onto it (both
-    vocab/corpus-stat sized); the final top-20 is TakeOrderedAndProject.
-    At scale this is a textbook DAAT scorer: work is O(postings of the
-    query terms), never O(corpus)."""
+    Plan: the document length ``dl`` is computed in the SAME scan that
+    builds the (term, doc) postings and carried through the aggregation
+    key — there is no corpus-sized side to broadcast or join (the r3
+    version broadcast a one-row-per-document length table: executor OOM
+    by construction at 10^10 docs). The only broadcast left is ``df_t``
+    — one row per QUERY term (≤3 rows). Top-20 is orderBy().limit(20) —
+    TakeOrderedAndProject (per-partition heaps, never a global sort into
+    one partition); the rank window then runs over the 20 surviving
+    rows. At scale this is a textbook DAAT scorer: work is O(postings
+    of the query terms), never O(corpus). Shape pinned in
+    tests/test_plans.py (TakeOrdered present, no doc-count broadcast)."""
     d = _t(spark, sf_dir, "documents")
-    lens = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
     n_docs = d.count()
-    avgdl_row = lens.agg(
-        F.sum("dl").alias("s"), F.count("*").alias("c")
-    ).collect()[0]
+    avgdl_row = (
+        d.select(F.size(F.split("text", " ")).alias("dl"))
+        .agg(F.sum("dl").alias("s"), F.count("*").alias("c"))
+        .collect()[0]
+    )
     avgdl = avgdl_row["s"] / avgdl_row["c"]
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
     td = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("term", "doc_id")
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
     )
     df_t = td.groupBy("term").agg(F.count("*").alias("df"))
@@ -3141,17 +3161,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         td.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(lens), "doc_id")
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(score_t), 6).alias("bm25"),
             F.count("*").cast("long").alias("n_terms_hit"),
         )
     )
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "bm25", "n_terms_hit")
     )
 

@@ -124,12 +124,16 @@ def hits(
             .agg(F.sum("hub").alias("raw"))
         )
         a_max = a_raw.agg(F.max("raw")).collect()[0][0]
+        # degenerate edge set (empty, or all edges dropped — e.g. pure
+        # self-links): the max aggregate is NULL (or a 0 sum) — divide by
+        # 1 so every score collapses to 0 instead of float(None)/NaN
+        a_den = float(a_max) if a_max else 1.0
         a = (
             nodes.select(F.col(node_col).alias("__node"))
             .join(a_raw, "__node", "left")
             .select(
                 "__node",
-                (F.coalesce("raw", F.lit(0.0)) / F.lit(float(a_max))).alias("auth"),
+                (F.coalesce("raw", F.lit(0.0)) / F.lit(a_den)).alias("auth"),
             )
             .localCheckpoint(eager=True)
         )
@@ -139,12 +143,13 @@ def hits(
             .agg(F.sum("auth").alias("raw"))
         )
         h_max = h_raw.agg(F.max("raw")).collect()[0][0]
+        h_den = float(h_max) if h_max else 1.0
         h = (
             nodes.select(F.col(node_col).alias("__node"))
             .join(h_raw, "__node", "left")
             .select(
                 "__node",
-                (F.coalesce("raw", F.lit(0.0)) / F.lit(float(h_max))).alias("hub"),
+                (F.coalesce("raw", F.lit(0.0)) / F.lit(h_den)).alias("hub"),
             )
             .localCheckpoint(eager=True)
         )

@@ -9,15 +9,27 @@ refresh, a partner feed, another crawler's discoveries). This module is
 that arrival path: a file-source stream of site-graph deltas whose every
 micro-batch lands in the frontier through ``CrawlEngine.add_seeds``.
 
-Crash contract — exactly-once via batch-id fencing, the same shape as
-streaming/sketches.py but with the fence stored IN the engine checkpoint:
-``add_seeds`` commits the frontier append and the
-``seed_stream_batch_id`` fence in one checkpoint write, so a foreachBatch
-replay after a crash (Spark guarantees only at-least-once for sink
-functions) observes ``batch_id <= fence`` and skips — the frontier can
-never double-append, even if the stream's own checkpoint directory is
-lost entirely (the fence survives in engine state, which is the source of
-truth).
+Crash contract — effectively-once, two layers:
+
+1. **Lineage-scoped batch-id fence** (fast path): ``add_seeds`` commits
+   the frontier append and the (stream query id, batch id) fence in one
+   engine checkpoint write. A foreachBatch replay after a crash (Spark
+   guarantees only at-least-once for sink functions) observes the SAME
+   query lineage id with ``batch_id <= fence`` and skips without
+   touching the frontier. The query id comes from the stream
+   checkpoint's own ``metadata`` file — within one checkpoint lineage,
+   batch ids are monotonic and an id is only ever re-delivered with
+   already-committed input, so the skip is sound.
+2. **Idempotent fall-through** (safety net): if the stream checkpoint
+   directory is lost/recreated, Spark renumbers batches from 0 under a
+   NEW query id — a raw batch-id fence would silently drop batches that
+   contain genuinely new seed files until the new counter passed the
+   stored fence (at-most-once). Instead, a lineage mismatch (or an
+   unreadable metadata file) falls through to ``add_seeds``, whose
+   url_hash anti-join against the whole frontier makes re-delivered
+   rows a no-op (added == 0) while new rows land normally. Frontier
+   STATE is exactly-once; only the wasted work on a replay is
+   at-least-once.
 
 Interleaving contract: the engine is single-writer by design, so seed
 ingestion and crawl batches alternate — ``crawl_with_seed_stream`` drains
@@ -30,9 +42,26 @@ deterministically.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import SparkSession
 
 from ..schemas import SITE_GRAPH_SCHEMA
+
+
+def _stream_query_id(stream_checkpoint_dir: str) -> str | None:
+    """The stream checkpoint's query lineage id (its ``metadata`` file,
+    written at query start). A fresh/recreated checkpoint dir gets a new
+    id — that is the renumbering signal the fence must scope to. Returns
+    None when unreadable (non-local checkpoint store, torn write): the
+    caller must then take the conservative idempotent path, so an
+    unreadable file can never cause data loss."""
+    try:
+        with open(os.path.join(stream_checkpoint_dir, "metadata")) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
 
 
 def seed_stream_pass(
@@ -43,7 +72,7 @@ def seed_stream_pass(
 ) -> int:
     """One availableNow pass over ``seed_dir``: every seed file not yet
     consumed by the stream checkpoint is ingested into the frontier,
-    exactly-once (see module docstring). Returns URLs actually added
+    effectively-once (see module docstring). Returns URLs actually added
     (post canonicalize/dedup/anti-join), 0 for an empty pass or a pure
     replay."""
     added = {"n": 0}
@@ -53,12 +82,22 @@ def seed_stream_pass(
         if ck is None:
             raise RuntimeError("seed_stream: engine not initialized")
         fence = int(ck.get("seed_stream_batch_id", -1))
-        if int(batch_id) <= fence:
-            return  # replayed batch — its frontier commit is already checkpointed
+        qid = _stream_query_id(stream_checkpoint_dir)
+        same_lineage = (
+            qid is not None and qid == ck.get("seed_stream_query_id")
+        )
+        if same_lineage and int(batch_id) <= fence:
+            return  # same-lineage replay — its frontier commit is already checkpointed
+        # New batch, OR a renumbered/unknown lineage (checkpoint dir
+        # recreated): fall through — add_seeds' url_hash anti-join makes
+        # re-delivered rows a no-op while new files' rows land.
         out = engine.add_seeds(
             batch_df.sparkSession,
             batch_df,
-            extra_state={"seed_stream_batch_id": int(batch_id)},
+            extra_state={
+                "seed_stream_batch_id": int(batch_id),
+                "seed_stream_query_id": qid,
+            },
         )
         added["n"] += int(out["added"])
 
