@@ -148,9 +148,28 @@ def test_pil_real_jpeg_roundtrip_meets_psnr_window():
 
 
 def test_fake_jpeg_routes_to_stub_even_under_auto():
-    """Stub-lossy blobs are not real JPEG: whatever the codec setting,
-    FAKE_JPEG_SIG dispatches to the stub decoder (PIL cannot read them)."""
+    """LEGACY stub-lossy blobs are not real JPEG: whatever the codec
+    setting, FAKE_JPEG_SIG dispatches to the stub decoder (PIL cannot
+    read them). The live jpeg path emits real JFIF — codec='stub' is the
+    only way to produce these now."""
     img = make_image(24, 64, 48)
-    blob = encode_image(img, "jpeg")  # stub codec
+    blob = encode_image(img, "jpeg", codec="stub")
+    assert blob[:4] == b"JQ90"
     out = decode_image(blob, "jpeg", codec="auto")
     assert psnr(img, out) >= PSNR_LOSSY_MIN_DB
+
+
+def test_real_jpeg_with_encoder_tag_routes_to_numpy_under_auto():
+    """Blobs from our baseline encoder carry the JFIF COM tag and decode
+    through the numpy path even under codec='auto' (with or without PIL)
+    — phash ground truth must be bit-identical across hosts."""
+    from web_scraper_spark.functions.jpeg import has_encoder_tag
+
+    img = make_image(25, 64, 48)
+    blob = encode_image(img, "jpeg")  # real baseline JFIF now
+    assert sniff_format(blob) == "jpeg" and blob[:3] == b"\xff\xd8\xff"
+    assert has_encoder_tag(blob)
+    out_auto = decode_image(blob, "jpeg", codec="auto")
+    out_np = decode_image(blob, "jpeg", codec="numpy")
+    np.testing.assert_array_equal(out_auto, out_np)
+    assert psnr(img, out_auto) >= PSNR_LOSSY_MIN_DB

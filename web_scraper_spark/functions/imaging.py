@@ -16,7 +16,7 @@ never silently switches on PIL presence — PIL encoding is explicit
 always route to the stub decoder whatever the codec setting: they are not
 real JPEG and PIL cannot read them.
 
-Container constraints: PIL/imagehash are NOT installed here. Two stub
+Container constraints: PIL/imagehash are NOT installed here. Two numpy
 codecs:
 
   * ``png`` — a REAL minimal PNG codec (pure numpy + stdlib zlib): 8-bit RGB,
@@ -25,12 +25,19 @@ codecs:
     *other* encoders is supported only for filter-0/filter-1/filter-2 RGB8
     streams; anything else raises NotImplementedError (clearly-marked stub
     boundary — swap in PIL on a real cluster).
-  * ``jpeg`` — a DETERMINISTIC FAKE lossy codec (STUB): uniform quantization
-    (step 6) + zlib. It is NOT a real JPEG; it exists so the lossy-path
-    plumbing (PSNR >= 40 dB validation, phash-over-decoded-pixels) is real
-    and testable. Quantization step 6 ⇒ MSE ≈ 3 ⇒ PSNR ≈ 43 dB, inside the
-    spec's >=40 dB window. On a real cluster replace _encode_jpeg/_decode_jpeg
-    with PIL JPEG q=90.
+  * ``jpeg`` — a REAL baseline JFIF codec (functions/jpeg.py, pure numpy):
+    forward/inverse DCT, Annex-K-shaped quant tables at quality 97 (PSNR
+    >= 40 dB on every fixture — the BASELINE.json input_hint window, with
+    headroom), self-declared Huffman tables, byte stuffing, optional
+    4:2:0 + restart intervals on decode. Emitted files open in any
+    standard viewer; decode reads any 8-bit baseline sequential stream
+    (progressive/arithmetic → NotImplementedError, the honest boundary —
+    ``codec="pil"`` covers those on a real cluster). Blobs from THIS
+    encoder carry a JFIF COM tag and always decode through the numpy
+    path even when PIL is importable, keeping phash ground truth
+    bit-identical across hosts. The r1-r3 fake-lossy stub
+    (FAKE_JPEG_SIG: uniform quantization + zlib) remains decodable for
+    legacy blobs and reachable via ``codec="stub"``.
 
 All entry points are batch-shaped (pd.Series → pd.Series/pd.DataFrame) so
 they drop into pandas UDFs / mapInPandas with zero per-row Python dispatch
@@ -44,6 +51,8 @@ import zlib
 
 import numpy as np
 import pandas as pd
+
+from . import jpeg as _jpeg_codec
 
 try:  # optional real codecs — absent in this container, present on a cluster
     from PIL import Image as _PILImage
@@ -130,14 +139,15 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
-# ------------------------------------------------------- fake JPEG (STUB)
+# ------------------------------------------- legacy fake lossy codec (STUB)
 
 _JPEG_Q = 6  # quantization step → MSE ≈ q²/12 = 3 → PSNR ≈ 43.4 dB
 
 
 def _encode_jpeg(img: np.ndarray) -> bytes:
-    """STUB lossy codec (NOT real JPEG) — uniform quantization + zlib.
-    Deterministic; PSNR vs source ≈ 43 dB. See module docstring."""
+    """LEGACY stub lossy codec (NOT real JPEG) — uniform quantization +
+    zlib. Kept decodable for r1-r3 blobs; the live jpeg path is the real
+    baseline codec in functions/jpeg.py. See module docstring."""
     h, w, _ = img.shape
     q = (img.astype(np.int32) + _JPEG_Q // 2) // _JPEG_Q
     q = np.clip(q, 0, 255 // _JPEG_Q + 1).astype(np.uint8)
@@ -146,8 +156,9 @@ def _encode_jpeg(img: np.ndarray) -> bytes:
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:4] != FAKE_JPEG_SIG:
-        raise NotImplementedError(
-            "stub decoder: real JPEG decode requires PIL (not in container)"
+        raise ValueError(
+            "legacy stub decoder: blob lacks FAKE_JPEG_SIG (real JPEG "
+            "routes through functions/jpeg.py)"
         )
     w, h = struct.unpack(">II", data[4:12])
     q = np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
@@ -189,33 +200,53 @@ def _encode_pil(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
 
 
 def encode_image(img: np.ndarray, fmt: str, codec: str = "numpy") -> bytes:
-    """Default encoder stays the deterministic numpy/stub codec even when
-    PIL is installed — datagen ground truth depends on these exact bytes.
-    Pass ``codec="pil"`` for real-codec output on a cluster."""
+    """Default encoder stays the deterministic numpy codec even when PIL
+    is installed — datagen ground truth depends on these exact bytes.
+    jpeg emits REAL baseline JFIF (functions/jpeg.py, quality 97).
+    ``codec="pil"`` → real-library output; ``codec="stub"`` → the legacy
+    fake-lossy blob (r1-r3 fixtures only)."""
     if codec == "pil":
         return _encode_pil(img, fmt)
     if fmt == "png":
         return encode_png(img)
     if fmt == "jpeg":
-        return _encode_jpeg(img)
+        if codec == "stub":
+            return _encode_jpeg(img)
+        return _jpeg_codec.encode_jpeg(img)
     raise NotImplementedError(f"fmt {fmt!r}")
 
 
 def decode_image(data: bytes, fmt: str, codec: str = "auto") -> np.ndarray:
-    """``codec="auto"``: PIL when importable (reads every variant a live
-    origin serves), numpy stub otherwise; "numpy"/"pil" force a path.
-    Stub-lossy blobs (FAKE_JPEG_SIG) always take the stub decoder — they
-    are not real JPEG. PNG round-trips identically on both paths (the stub
-    encoder emits standard filter-0 PNG), so phash/dimension ground truth
-    is codec-independent."""
+    """Decoder routing, in precedence order:
+
+    1. legacy stub-lossy blobs (FAKE_JPEG_SIG) → stub decoder always
+       (they are not real JPEG; PIL cannot read them);
+    2. real JPEG carrying our encoder's COM tag → the numpy baseline
+       decoder even under ``codec="auto"`` with PIL present, so phash
+       ground truth is bit-identical whatever a host has installed
+       (``codec="pil"`` still forces PIL — the cross-codec tests use it);
+    3. ``codec="pil"`` or (``"auto"`` and PIL importable) → PIL, the
+       deployment path for variants the numpy decoders don't cover;
+    4. numpy codecs: real baseline JPEG / filter-0/1/2 RGB8 PNG.
+
+    PNG round-trips identically on the numpy and PIL paths (the encoder
+    emits standard filter-0 PNG), so lossless ground truth is
+    codec-independent; the COM-tag rule extends that to lossy."""
     if fmt == "jpeg" and data[:4] == FAKE_JPEG_SIG:
         return _decode_jpeg(data)
+    if (
+        fmt == "jpeg"
+        and codec != "pil"
+        and data[:3] == JPEG_SIG
+        and _jpeg_codec.has_encoder_tag(data)
+    ):
+        return _jpeg_codec.decode_jpeg(data)
     if codec == "pil" or (codec == "auto" and HAVE_PIL):
         return _decode_pil(data)
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        return _decode_jpeg(data)
+        return _jpeg_codec.decode_jpeg(data)
     raise NotImplementedError(f"fmt {fmt!r}")
 
 
