@@ -134,6 +134,7 @@ class CrawlEngine:
         fetch_timeout_s: float = 600.0,
         seen_filter: str = "bloom",
         filter_fold_groups: int = 64,
+        table_format: str = "parquet",
     ):
         self.root = root
         self.batch_size = batch_size
@@ -171,14 +172,23 @@ class CrawlEngine:
         # amortizing the O(m) rewrite over that many batches.
         self.filter_fold_groups = filter_fold_groups
         os.makedirs(root, exist_ok=True)
-        self.frontier = SnapshotTable(root, "frontier")
-        self.seen = SnapshotTable(root, "seen")
-        self.failures = SnapshotTable(root, "failures")
-        self.payload_out = SnapshotTable(root, "payload_out")
-        self.schedule_log = SnapshotTable(root, "schedule_log")
-        self.robots = SnapshotTable(root, "robots")
-        self.bloom = SnapshotTable(root, "bloom")
-        self.bloom_delta = SnapshotTable(root, "bloom_delta")
+        # state tables go through the SnapshotTable contract; the backend
+        # is selectable ("parquet" = manifest-over-parquet, "iceberg" =
+        # Iceberg v2 metadata tree — sources/iceberg.py). The engine only
+        # ever talks to the shared interface, so the two backends are
+        # interchangeable (conformance: tests/test_iceberg_backend.py).
+        from ..sources.iceberg import make_table
+
+        self.table_format = table_format
+        self._make_table = lambda name: make_table(root, name, table_format)
+        self.frontier = self._make_table("frontier")
+        self.seen = self._make_table("seen")
+        self.failures = self._make_table("failures")
+        self.payload_out = self._make_table("payload_out")
+        self.schedule_log = self._make_table("schedule_log")
+        self.robots = self._make_table("robots")
+        self.bloom = self._make_table("bloom")
+        self.bloom_delta = self._make_table("bloom_delta")
         self.checkpoints = CheckpointLog(root)
 
     # ------------------------------------------------------------- init
@@ -1006,15 +1016,23 @@ class CrawlEngine:
         note: injected URLs insert into the seen filter when fetched, so
         size ``bloom_capacity`` at init for the expected TOTAL (or
         ``regrow_filter`` when ``seen_count`` nears capacity)."""
-        from ..operators.frontier import seed_frontier_from_site
+        from ..operators.frontier import order_cols, seed_frontier_from_site
 
         ck = self.checkpoints.latest()
         if ck is None:
             raise RuntimeError("add_seeds: no checkpoint — init() first")
         v = dict(ck["versions"])
+        # deterministic in-delta survivor: same window dup-guard as the
+        # batch path's P1 dedupe (run_batch) — dropDuplicates would keep
+        # an ARBITRARY row, making the surviving priority/position (and
+        # hence the crawl trace) nondeterministic across runs when a
+        # delta carries one URL on two pages/positions
+        wdup = Window.partitionBy("url_hash").orderBy(*order_cols())
         fresh = (
             seed_frontier_from_site(site_graph)
-            .dropDuplicates(["url_hash"])
+            .withColumn("__rn", F.row_number().over(wdup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
             .withColumn("bucket", _bucket(F.col("priority")))
         )
         existing = self.frontier.read(spark, int(v["frontier"]))

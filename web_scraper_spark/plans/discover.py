@@ -92,7 +92,7 @@ class DiscoveringCrawlEngine(CrawlEngine):
     def __init__(self, root: str, lookahead: int = 2, **kw):
         super().__init__(root, **kw)
         self.lookahead = lookahead
-        self.listing = SnapshotTable(root, "listing")
+        self.listing = self._make_table("listing")
         #: {page: (error_msg, fail_count)} — fail the page's first
         #: ``fail_count`` fetch attempts with ``error_msg`` (-1 = always).
         #: The listing-side mirror of attach_store's detail fault plan.
