@@ -120,11 +120,44 @@ def main() -> None:
         )
         return round(sizes / n_rows, 4)
 
-    naive = waved.repartition(n_partitions, F.col("host"))
-    salted = salted_repartition(waved, n_partitions, n_salts=8, hot_threshold=0.10)
-
     # warm-up (JIT/codegen) once on a slice, untimed
     run(fetch_stage(waved.limit(50_000)))
+
+    if "--sweep" in sys.argv:
+        # r3 verdict item 8: the n_salts × partitions sweep the operator
+        # docstring promises — spread (straggler share, wall time) vs
+        # politeness cost (worst-case aggregate in-flight for the hot
+        # host = per_host_parallelism × n_salts, analytic). n_salts=1 IS
+        # the naive-by-host placement; the hot host holds 50% of rows, so
+        # its straggler share floors at 0.5/min(n_salts, partitions).
+        rows = []
+        for n_parts in (16, 32, 64):
+            for n_salts in (1, 2, 4, 8, 16, 32):
+                df = salted_repartition(
+                    waved, n_parts, n_salts=n_salts, hot_threshold=0.10
+                )
+                t = min(run(fetch_stage(df)) for _ in range(2))
+                rows.append(
+                    {
+                        "partitions": n_parts,
+                        "n_salts": n_salts,
+                        "wall_s": round(t, 2),
+                        "max_partition_share": max_share(df),
+                        "hot_host_inflight_x": n_salts,  # × per_host_parallelism
+                    }
+                )
+                print(f"# {rows[-1]}", file=sys.stderr)
+        print(json.dumps({
+            "bench": "politeness_salt_sweep",
+            "rows": n_rows,
+            "hot_share": 0.5,
+            "cores": cores,
+            "sweep": rows,
+        }))
+        return
+
+    naive = waved.repartition(n_partitions, F.col("host"))
+    salted = salted_repartition(waved, n_partitions, n_salts=8, hot_threshold=0.10)
 
     naive_t, salted_t = [], []
     for _ in range(3):

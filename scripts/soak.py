@@ -7,7 +7,10 @@ jobs-per-batch count (a new per-batch job = a new per-batch scan).
 
 Runs the pre-seeded CrawlEngine against the synthetic store for
 ``--batches`` micro-batches (default 1000), compact_state + vacuum_state
-every ``--maintenance-every`` (default 100). Emits one JSON line:
+every ``--maintenance-every`` (default 100). ``--discovery`` soaks the
+DiscoveringCrawlEngine instead (listing fetch → explode → anti-join →
+fetch every batch, with listing faults churning the retry/tombstone
+machinery — r3 verdict item 5). Emits one JSON line:
 
   {"batches": N, "wall_s": ..., "batch_s_p50_first100": ...,
    "batch_s_p50_last100": ..., "slowdown": last/first,
@@ -36,6 +39,7 @@ sys.path.insert(0, REPO)
 def main() -> None:
     batches = 1000
     maintenance_every = 100
+    discovery = "--discovery" in sys.argv
     if "--batches" in sys.argv:
         batches = int(sys.argv[sys.argv.index("--batches") + 1])
     if "--maintenance-every" in sys.argv:
@@ -59,11 +63,33 @@ def main() -> None:
         datagen.gen_payload_pdf(n_urls), schema=schemas.PAYLOAD_SCHEMA
     ).write.parquet(ppath)
 
-    eng = CrawlEngine(
-        os.path.join(tmp, "state"), batch_size=batch_size, n_partitions=8
-    )
-    eng.attach_store(ppath, {})
-    eng.init(datagen.site_graph_df(spark, n_pages, batch_size))
+    if discovery:
+        # r3 verdict item 5: soak the DISCOVERING engine — every batch
+        # runs the full listing fetch → explode → anti-join → fetch loop
+        # (lookahead keeps listing scans ahead of the detail frontier),
+        # with listing faults on so the retry/tombstone machinery churns
+        # state tables for the whole horizon: every 25th page flakes
+        # twice (retry + backoff path), every 200th is down permanently
+        # (tombstone path). Same flat-time/bounded-file-group bounds.
+        from web_scraper_spark.plans.discover import DiscoveringCrawlEngine
+
+        eng = DiscoveringCrawlEngine(
+            os.path.join(tmp, "state"), batch_size=batch_size,
+            n_partitions=8, lookahead=2,
+        )
+        eng.attach_store(ppath, {})
+        eng.attach_listing_faults({
+            p: ("connection reset by peer", 2) if p % 200 else
+               ("HTTP 503 service unavailable", -1)
+            for p in range(25, n_pages + 1, 25)
+        })
+        eng.init_discovery(spark, n_pages, batch_size)
+    else:
+        eng = CrawlEngine(
+            os.path.join(tmp, "state"), batch_size=batch_size, n_partitions=8
+        )
+        eng.attach_store(ppath, {})
+        eng.init(datagen.site_graph_df(spark, n_pages, batch_size))
 
     def max_job_id() -> int:
         ids = st.getJobIdsForGroup()
@@ -127,6 +153,7 @@ def main() -> None:
     first_j = statistics.median(jobs[:k])
     last_j = statistics.median(jobs[-k:])
     out = {
+        "mode": "discovery" if discovery else "preseeded",
         "batches": n,
         "maintenance_every": maintenance_every,
         "wall_s": round(time.time() - t_start, 1),
