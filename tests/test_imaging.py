@@ -39,6 +39,53 @@ def test_lossy_stub_psnr_above_40db():
         assert psnr(img, out) >= PSNR_LOSSY_MIN_DB
 
 
+def test_png_decodes_all_five_standard_filters():
+    """Streams from real encoders pick Sub/Up/Average/Paeth per row; the
+    decoder must invert all of RFC 2083 §6. The test applies each FORWARD
+    filter in numpy (independent reference implementation) and asserts
+    the decoder recovers the source pixels exactly."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from web_scraper_spark.functions.imaging import PNG_SIG, _png_chunk
+
+    img = make_image(31, 24, 20)
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * 3).astype(np.int32)
+    lines = bytearray()
+    for i in range(h):
+        f = i % 5  # cycle through every filter type
+        cur = flat[i]
+        prev = flat[i - 1] if i else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        lines.append(f)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_image(blob, "png", codec="numpy"), img)
+
+
 def test_phash_deterministic_and_discriminative():
     a = phash64(make_image(1, 64, 48))
     a2 = phash64(make_image(1, 64, 48))

@@ -98,9 +98,12 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → RGB8 array. Supports 8-bit RGB with per-row filters
-    0 (None), 1 (Sub), 2 (Up); others raise NotImplementedError (stub
-    boundary — see module docstring)."""
+    """PNG bytes → RGB8 array. Supports 8-bit RGB with ALL five standard
+    per-row filters (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — the full
+    RFC 2083 §6 set, so streams from real encoders like libpng/PIL that
+    pick Average/Paeth per row decode here too); interlace, palettes and
+    other bit depths raise NotImplementedError (stub boundary — see
+    module docstring)."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, 0
@@ -111,8 +114,11 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
             if bit_depth != 8 or color_type != 2:
                 raise NotImplementedError("stub decoder: only 8-bit RGB PNG")
+            if interlace:
+                raise NotImplementedError("stub decoder: Adam7 interlace")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -125,6 +131,7 @@ def decode_png(data: bytes) -> np.ndarray:
     out = np.zeros_like(px)
     for i in range(h):
         f = filters[i]
+        up = out[i - 1] if i else np.zeros_like(px[i])
         if f == 0:
             out[i] = px[i]
         elif f == 1:  # Sub: add left pixel (per channel)
@@ -133,9 +140,26 @@ def decode_png(data: bytes) -> np.ndarray:
                 row[j] = (row[j] + row[j - 3]) & 0xFF
             out[i] = row
         elif f == 2:  # Up: add pixel above
-            out[i] = (px[i] + (out[i - 1] if i else 0)) & 0xFF
+            out[i] = (px[i] + up) & 0xFF
+        elif f == 3:  # Average: add floor((left + up) / 2)
+            row = px[i].copy()
+            for j in range(row.size):
+                left = row[j - 3] if j >= 3 else 0
+                row[j] = (row[j] + ((int(left) + int(up[j])) >> 1)) & 0xFF
+            out[i] = row
+        elif f == 4:  # Paeth predictor (RFC 2083 §6.6)
+            row = px[i].copy()
+            for j in range(row.size):
+                a = int(row[j - 3]) if j >= 3 else 0  # left
+                b = int(up[j])  # above
+                c = int(out[i - 1][j - 3]) if (i and j >= 3) else 0  # up-left
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+            out[i] = row
         else:
-            raise NotImplementedError(f"stub decoder: PNG filter {f}")
+            raise ValueError(f"invalid PNG filter {f}")
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
