@@ -279,8 +279,8 @@ def video_frames_for(i: int, seed: int = DEFAULT_SEED) -> np.ndarray:
 
 
 def gen_video_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
-    """Video payload table (media_id, bytes, caption): FVID stub-container
-    clips from video_frames_for."""
+    """Video payload table (media_id, bytes, caption): real MP4/MJPEG
+    clips (functions/mp4.py) from video_frames_for."""
     from .functions.video import encode_video
 
     rows = []

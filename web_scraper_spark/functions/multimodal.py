@@ -3,14 +3,17 @@ columns with typed metadata, processed in Arrow-batched UDFs
 (BASELINE.json input_hint: "no per-row Python" at the Spark layer —
 everything here is batch-shaped for mapInPandas).
 
-Real in this container (numpy-only): image decode (via the PNG codec /
-lossy stub in imaging.py), mean-pool resize, per-channel feature
-extraction, phash; WAV/PCM16 audio decode + features (audio.py — a real
-RIFF codec); video frame sampling + scene cuts over the FVID stub
-container (video.py). STUBBED (raising with swap-in instructions):
-real JPEG/WebP via PIL when absent, compressed audio (mp3/aac →
-soundfile), real video codecs (h264 → pyav) — undecodable rows classify
-soft (ok=False / error row), never crash the task.
+Real in this container (numpy-only): image decode — a real baseline
+JPEG codec (jpeg.py) + a full-filter-set PNG codec (imaging.py) —
+mean-pool resize, per-channel feature extraction, phash; WAV/PCM16
+audio decode + features (audio.py — a real RIFF codec); video frame
+sampling + scene cuts over a REAL MP4/ISO-BMFF container with
+motion-JPEG samples (mp4.py + video.py; the legacy FVID stub stays
+decodable). STUBBED (raising with swap-in instructions): exotic image
+variants via PIL when absent (progressive JPEG, WebP), compressed
+audio (mp3/aac → soundfile), temporal video codecs (h264 → pyav) —
+undecodable rows classify soft (ok=False / error row), never crash the
+task.
 """
 
 from __future__ import annotations

@@ -2,18 +2,17 @@
 video leg of the multimodal plumbing; reference mp4 validation
 file_validator.py:185-220, file_downloader.py:622-676).
 
-Codec status (mirrors imaging.py's fake-JPEG contract): real video codecs
-(h264/vp9) need pyav/cv2, absent here, so the container is FVID — a
-DETERMINISTIC FAKE (clearly-marked stub): magic + (n_frames, w, h, fps)
-header + zlib-compressed concatenated raw RGB frames. It exists so the
-frame-sampling plumbing — header parse, bounded decode of only the
-sampled frames, per-frame phash, scene-cut detection — is real and
-testable. On a real cluster replace encode_video/decode_frames with
-av.open(BytesIO(blob)) and the rest of the pipeline is unchanged.
-
-Frame-sample efficiency note: zlib forces decompressing the whole stream,
-but only the SAMPLED frames are materialized as arrays/phashes — with a
-real container (keyframe index) the seek skips the undecoded frames too.
+Container status: the LIVE path is real MP4 (ISO BMFF) with motion-JPEG
+samples — functions/mp4.py writes/parses actual ftyp/mdat/moov box
+structure and per-sample byte ranges through stsc/stco/stsz, and each
+frame is real baseline JFIF (functions/jpeg.py). Frame sampling SEEKS:
+only the requested samples' byte ranges are decoded. Temporal codecs
+(h264/vp9 inter-frame prediction) still need pyav/cv2 on a real cluster;
+MJPEG is the honest no-external-codec point between "fake container"
+and "full temporal codec". The legacy FVID stub container (magic +
+header + zlib raw RGB) remains decodable for r1-r3 blobs; its zlib
+stream forces a full inflate per clip — exactly the cost the real
+container's sample index removes.
 """
 
 from __future__ import annotations
@@ -24,6 +23,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from . import mp4 as _mp4
 from .imaging import hamming64, phash64, typed_frame
 
 FVID_SIG = b"FVID"
@@ -33,8 +33,12 @@ SCENE_CUT_HAMMING = 16
 
 
 def encode_video(frames: np.ndarray, fps: int) -> bytes:
-    """(n, h, w, 3) uint8 frames → FVID bytes (STUB container — see
-    module docstring)."""
+    """(n, h, w, 3) uint8 frames → real MP4/MJPEG bytes (functions/mp4.py)."""
+    return _mp4.encode_mp4_mjpeg(frames, fps)
+
+
+def encode_video_fvid(frames: np.ndarray, fps: int) -> bytes:
+    """Legacy FVID stub container (r1-r3 fixtures; kept decodable)."""
     n, h, w, c = frames.shape
     assert c == 3 and frames.dtype == np.uint8
     return (
@@ -45,19 +49,33 @@ def encode_video(frames: np.ndarray, fps: int) -> bytes:
 
 
 def video_meta(data: bytes) -> tuple[int, int, int, int]:
-    """Header-only parse → (n_frames, w, h, fps). O(1) — no frame decode."""
-    if data[:4] != FVID_SIG:
-        raise NotImplementedError(
-            "real video decode needs pyav/cv2 (not in container); "
-            "only the FVID stub container is readable here"
-        )
-    n, w, h, fps = struct.unpack(">IIIH", data[4:18])
-    return n, w, h, fps
+    """Metadata parse → (n_frames, w, h, fps). Real MP4: box walk, no
+    sample decode. FVID: fixed header."""
+    if data[:4] == FVID_SIG:
+        n, w, h, fps = struct.unpack(">IIIH", data[4:18])
+        return n, w, h, fps
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        m = _mp4.parse_mp4(data)
+        return m["n_frames"], m["w"], m["h"], m["fps"]
+    raise NotImplementedError(
+        "unrecognized video container (not MP4/ftyp or FVID); temporal "
+        "codecs need pyav/cv2 on a real cluster"
+    )
 
 
 def decode_frames(data: bytes, idxs: list[int]) -> list[np.ndarray]:
-    """Decode ONLY the requested frame indices (bounded memory: one
-    decompressed stream slice per call, sampled frames materialized)."""
+    """Decode ONLY the requested frame indices. MP4/MJPEG: per-sample
+    byte-range seek through the stsc/stco/stsz map — untouched frames
+    are never read. FVID: one inflate, sampled frames materialized."""
+    if data[:4] != FVID_SIG:
+        m = _mp4.parse_mp4(data)
+        out = []
+        for i in idxs:
+            if not 0 <= i < m["n_frames"]:
+                raise IndexError(f"frame {i} of {m['n_frames']}")
+            off, size = m["samples"][i]
+            out.append(_mp4.decode_sample(data, off, size))
+        return out
     n, w, h, _ = video_meta(data)
     raw = zlib.decompress(data[18:])
     fsz = w * h * 3
