@@ -2,9 +2,11 @@
 a crawl that receives its site graph INCREMENTALLY over a Structured
 Streaming file source must converge to the same final state as a crawl
 seeded with everything at init — same seen set, same terminal statuses,
-same validated payload rows — and ingestion must be exactly-once under
-stream-checkpoint loss (the batch-id fence lives in the ENGINE
-checkpoint, the source of truth)."""
+same validated payload rows — and frontier state must stay
+effectively-once under stream-checkpoint loss: the (query id, batch id)
+fence lives in the ENGINE checkpoint, scoped to the stream lineage, and
+renumbered/new-lineage batches fall through to add_seeds' idempotent
+anti-join (replays add 0; genuinely new files land)."""
 
 from __future__ import annotations
 

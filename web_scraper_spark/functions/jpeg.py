@@ -10,9 +10,9 @@ Encoder (``encode_jpeg``):
   * 8-bit RGB → JFIF YCbCr, optional 2×2 chroma subsampling (4:2:0),
     default 4:4:4 so the PSNR ≥ 40 dB payload contract (BASELINE.json
     ``input_hint``) holds by construction at the default quality;
-  * blockwise forward DCT is one einsum over ALL blocks (vectorized);
-    quantization uses the Annex-K-shaped tables scaled by the libjpeg
-    quality formula;
+  * blockwise forward DCT is one batched BLAS matmul over ALL blocks
+    (D @ blocks @ D.T); quantization uses the Annex-K-shaped tables
+    scaled by the libjpeg quality formula;
   * entropy coding is standard Huffman DC-diff + AC run/size with byte
     stuffing — the tables are self-built canonical codes DECLARED IN THE
     DHT segments (any conforming JPEG may carry its own tables; building
@@ -28,17 +28,19 @@ Decoder (``decode_jpeg``):
     decode via a flat 2^16 lookup table built per DHT (numpy slice
     fills), magnitude bits read straight off the stuffed-byte-stripped
     stream; dequant + inverse zigzag + IDCT vectorized over all blocks
-    of a component in one einsum;
+    of a component in one batched BLAS matmul;
   * progressive (SOF2), 12-bit, arithmetic coding → NotImplementedError
     (honest stub boundary: swap in PIL via ``codec="pil"`` on a real
     cluster for exotic variants).
 
-Throughput note (BENCH.md): the entropy decode loop is per-symbol Python
-(~µs/symbol) — ~5-15 ms for the sandbox's ≤96×72 fixtures. That is the
-honest price of a real format in a no-libjpeg container; the Spark plan
-shape (Arrow-batched pandas UDF, per-image loop) is identical to what a
-libjpeg-turbo/PIL codec would use, and the work is embarrassingly
-parallel so the north-rule scaling legs are unaffected.
+Throughput note (BENCH.md): the entropy loops are per-symbol Python
+(~µs/symbol, inlined int bit-ops) — ~1-4 ms encode/decode for the
+sandbox's ≤96×72 fixtures after the hot-loop inlining + batched-matmul
+DCT. That is the honest price of a real format in a no-libjpeg
+container; the Spark plan shape (Arrow-batched pandas UDF, per-image
+loop) is identical to what a libjpeg-turbo/PIL codec would use, and the
+work is embarrassingly parallel so the north-rule scaling legs are
+unaffected.
 """
 
 from __future__ import annotations
@@ -279,62 +281,98 @@ def encode_jpeg(
     zz_blocks = []
     for ci, (plane, c) in enumerate(zip(planes, comps)):
         blocks = _plane_blocks(plane, c["bx"], c["by"]) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
+        coef = np.matmul(np.matmul(_D, blocks), _D.T)
         q = qt[0 if ci == 0 else 1].astype(np.float64)
         quant = np.round(coef / q).astype(np.int32)
         zz_blocks.append(quant.reshape(-1, 64)[:, _zz])
 
     dc_codes = canonical_codes(*_dc_table_spec())
     ac_codes = canonical_codes(*_ac_table_spec())
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
 
-    wtr = _BitWriter()
+    # symbol loop is the encode hot path — bit accumulation inlined into
+    # plain-int locals (acc/nbits) with per-symbol byte drain + stuffing;
+    # rows pre-converted to Python lists (int() per numpy scalar is ~4×
+    # the cost of a list element)
     entropy = bytearray()
+    acc = 0
+    nbits = 0
     pred = [0, 0, 0]
     n_mcu = mcux * mcuy
     rst = 0
+    blk_lists = [zz.tolist() for zz in zz_blocks]
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
-            wtr.flush()
-            entropy += wtr.buf
+            if nbits:  # flush: pad to byte with 1-bits
+                pad = 8 - nbits
+                acc = (acc << pad) | ((1 << pad) - 1)
+                nbits = 8
+            while nbits >= 8:
+                byte = (acc >> (nbits - 8)) & 0xFF
+                entropy.append(byte)
+                if byte == 0xFF:
+                    entropy.append(0x00)
+                nbits -= 8
+            acc = 0
             entropy += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
-            wtr = _BitWriter()
             pred = [0, 0, 0]
         my, mx = divmod(m, mcux)
         for ci, c in enumerate(comps):
             for v_ in range(c["v"]):
                 for h_ in range(c["h"]):
                     bi = (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_)
-                    blk = zz_blocks[ci][bi]
-                    diff = int(blk[0]) - pred[ci]
-                    pred[ci] = int(blk[0])
-                    size, bits_v = _magnitude(diff)
+                    blk = blk_lists[ci][bi]
+                    dc = blk[0]
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    if diff == 0:
+                        size = 0
+                    else:
+                        size = (diff if diff > 0 else -diff).bit_length()
                     code, ln = dc_codes[size]
-                    wtr.put(code, ln)
+                    acc = (acc << ln) | code
+                    nbits += ln
                     if size:
-                        wtr.put(bits_v, size)
+                        bits_v = diff if diff >= 0 else diff + (1 << size) - 1
+                        acc = (acc << size) | bits_v
+                        nbits += size
                     run = 0
-                    nz = np.nonzero(blk[1:])[0]
-                    last = int(nz[-1]) + 1 if nz.size else 0
+                    last = 63
+                    while last and blk[last] == 0:
+                        last -= 1
                     for k in range(1, last + 1):
-                        v = int(blk[k])
+                        v = blk[k]
                         if v == 0:
                             run += 1
                             continue
                         while run > 15:
-                            code, ln = ac_codes[0xF0]
-                            wtr.put(code, ln)
+                            acc = (acc << zrl_len) | zrl_code
+                            nbits += zrl_len
                             run -= 16
-                        size, bits_v = _magnitude(v)
+                        size = (v if v > 0 else -v).bit_length()
                         code, ln = ac_codes[(run << 4) | size]
-                        wtr.put(code, ln)
-                        wtr.put(bits_v, size)
+                        bits_v = v if v >= 0 else v + (1 << size) - 1
+                        acc = (acc << (ln + size)) | (code << size) | bits_v
+                        nbits += ln + size
                         run = 0
                     if last < 63:
-                        code, ln = ac_codes[0x00]
-                        wtr.put(code, ln)
-    wtr.flush()
-    entropy += wtr.buf
+                        acc = (acc << eob_len) | eob_code
+                        nbits += eob_len
+                    while nbits >= 8:
+                        byte = (acc >> (nbits - 8)) & 0xFF
+                        entropy.append(byte)
+                        if byte == 0xFF:
+                            entropy.append(0x00)
+                        nbits -= 8
+                    acc &= (1 << nbits) - 1
+    if nbits:
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        entropy.append(acc & 0xFF)
+        if (acc & 0xFF) == 0xFF:
+            entropy.append(0x00)
 
     # ------------------------------------------------------------ markers
     def seg(marker: int, body: bytes) -> bytes:
@@ -476,8 +514,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("truncated JPEG: missing SOF/SOS")
     fw, fh, comps_raw = frame
-    if any(s[0] > 2 or s[1] > 2 for _, *s, _q in [(c[0], c[1], c[2], c[3]) for c in comps_raw]):
-        pass  # handled below via explicit check
     for _, hs, vs, _q in comps_raw:
         if hs > 2 or vs > 2 or hs < 1 or vs < 1:
             raise NotImplementedError(f"sampling factor {hs}x{vs}")
@@ -516,8 +552,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         al, asym = huff[(1, ta)]
         scan_tabs.append((ci, dl, ds, al, asym))
 
+    # The entropy loop is the decode hot path (~µs/symbol): the bit
+    # reader is inlined into plain-int locals (win/pos) — method-call and
+    # attribute overhead here costs ~2× on real streams.
     seg_i = 0
     rdr = _BitReader(segments[0])
+    win, pos, nbits = rdr.win, 0, rdr.nbits
     pred = [0] * len(comps)
     for m in range(n_mcu):
         if restart and m and m % restart == 0:
@@ -525,32 +565,41 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if seg_i >= len(segments):
                 raise ValueError("truncated JPEG: missing restart segment")
             rdr = _BitReader(segments[seg_i])
+            win, pos, nbits = rdr.win, 0, rdr.nbits
             pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, dlen, dsym, alen, asym in scan_tabs:
             c = comps[ci]
-            for v_ in range(c["v"]):
-                for h_ in range(c["h"]):
-                    if rdr.pos >= rdr.nbits:
+            cv, ch, cbx = c["v"], c["h"], c["bx"]
+            comp_store = store[ci]
+            for v_ in range(cv):
+                for h_ in range(ch):
+                    if pos >= nbits:
                         raise ValueError("truncated JPEG entropy stream")
-                    bi = (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_)
-                    blk = store[ci][bi]
-                    w16 = rdr.peek16()
+                    bi = (my * cv + v_) * cbx + (mx * ch + h_)
+                    blk = comp_store[bi]
+                    w16 = (win[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
                     ln = dlen[w16]
                     if ln == 0:
                         raise ValueError("invalid Huffman code (DC)")
-                    rdr.pos += ln
+                    pos += ln
                     size = dsym[w16]
-                    diff = _extend(rdr.take(size), size) if size else 0
-                    pred[ci] += diff
+                    if size:
+                        v = (win[pos >> 3] >> (32 - (pos & 7) - size)) & (
+                            (1 << size) - 1
+                        )
+                        pos += size
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        pred[ci] += v
                     blk[0] = pred[ci]
                     k = 1
                     while k < 64:
-                        w16 = rdr.peek16()
+                        w16 = (win[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
                         ln = alen[w16]
                         if ln == 0:
                             raise ValueError("invalid Huffman code (AC)")
-                        rdr.pos += ln
+                        pos += ln
                         sym = asym[w16]
                         if sym == 0x00:  # EOB
                             break
@@ -561,7 +610,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         size = sym & 15
                         if k > 63:
                             raise ValueError("AC run past block end")
-                        blk[k] = _extend(rdr.take(size), size)
+                        v = (win[pos >> 3] >> (32 - (pos & 7) - size)) & (
+                            (1 << size) - 1
+                        )
+                        pos += size
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        blk[k] = v
                         k += 1
 
     # dequant + de-zigzag + IDCT, vectorized per component
@@ -572,7 +627,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         coef[:, _zz] = zz  # zigzag position k → row-major _zz[k]
         coef = coef * q
         blocks = coef.reshape(-1, 8, 8).astype(np.float64)
-        pix = np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
+        pix = np.matmul(np.matmul(_D.T, blocks), _D) + 128.0
         grid = pix.reshape(c["by"], c["bx"], 8, 8).transpose(0, 2, 1, 3)
         plane = grid.reshape(c["by"] * 8, c["bx"] * 8)[: c["ch"], : c["cw"]]
         plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)

@@ -194,12 +194,16 @@ class IcebergSnapshotTable:
         base_version: int,
         operation: str,
         origin: str | None,
+        sid: int | None = None,
     ) -> int:
         """New snapshot + metadata version on top of ``base_version``
         (orphan protection: lineage extends BASE, not whatever ``latest``
-        points at), O_EXCL metadata create as the commit CAS."""
+        points at), O_EXCL metadata create as the commit CAS. ``sid`` is
+        the id the caller already stamped into its ADDED manifests, so
+        manifest ``added_snapshot_id`` and the snapshot record agree."""
         v = self.latest_version() + 1
-        sid = uuid.uuid4().int >> 64
+        if sid is None:
+            sid = uuid.uuid4().int >> 64
         base_meta = self._metadata(base_version)
         parent = base_meta.get("current-snapshot-id")
         ml_name = f"snap-{sid}.manifest-list.json"
@@ -258,9 +262,9 @@ class IcebergSnapshotTable:
 
     def commit_overwrite(self, df: DataFrame, origin: str | None = None) -> int:
         base = self.latest_version()
-        sid_placeholder = uuid.uuid4().int >> 64  # manifests carry their own id
-        m = self._write_manifest(self._write_group(df), None, sid_placeholder, origin)
-        return self._commit_snapshot([m], base, "overwrite", origin)
+        sid = uuid.uuid4().int >> 64
+        m = self._write_manifest(self._write_group(df), None, sid, origin)
+        return self._commit_snapshot([m], base, "overwrite", origin, sid=sid)
 
     def commit_append(
         self, df: DataFrame, base_version: int | None = None, origin: str | None = None
@@ -270,7 +274,7 @@ class IcebergSnapshotTable:
         reused = list(self._manifest_list(snap)) if snap else []
         sid = uuid.uuid4().int >> 64
         m = self._write_manifest(self._write_group(df), None, sid, origin)
-        return self._commit_snapshot(reused + [m], base, "append", origin)
+        return self._commit_snapshot(reused + [m], base, "append", origin, sid=sid)
 
     def commit_overwrite_bucketed(
         self, df: DataFrame, bucket_col: str, origin: str | None = None
@@ -281,7 +285,7 @@ class IcebergSnapshotTable:
             self._write_manifest(files, bucket, sid, origin)
             for bucket, files in sorted(self._write_bucketed(df, bucket_col).items())
         ]
-        return self._commit_snapshot(manifests, base, "overwrite", origin)
+        return self._commit_snapshot(manifests, base, "overwrite", origin, sid=sid)
 
     def commit_merge_buckets(
         self,
@@ -306,7 +310,7 @@ class IcebergSnapshotTable:
             self._write_manifest(files, bucket, sid, origin)
             for bucket, files in sorted(self._write_bucketed(df, bucket_col).items())
         ]
-        return self._commit_snapshot(reused + fresh, base, "overwrite", origin)
+        return self._commit_snapshot(reused + fresh, base, "overwrite", origin, sid=sid)
 
     def truncate(self) -> int:
         return self._commit_snapshot([], self.latest_version(), "overwrite", "truncate")
@@ -336,7 +340,7 @@ class IcebergSnapshotTable:
             df = df.coalesce(target_partitions)
         sid = uuid.uuid4().int >> 64
         m = self._write_manifest(self._write_group(df), None, sid, origin)
-        return self._commit_snapshot([m], base, "replace", origin)
+        return self._commit_snapshot([m], base, "replace", origin, sid=sid)
 
     def vacuum(self, keep_from_version: int) -> dict:
         """expire_snapshots + remove_orphan_files: drop metadata versions
