@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "audio_features",
     "video_frame_sample",
     "video_scene_cuts",
+    "video_container_stats",
     "warc_ingest",
     "html_extraction",
     "sessionize",

@@ -23,6 +23,71 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def ceiling_child(nproc: int, kind: str) -> None:
+    """Pure-python scaling ceiling probe (run taskset-pinned like the
+    Spark children): ``compute`` = cache-resident BLAS matmul (scales
+    with cores), ``bandwidth`` = 480 MB streaming sums (scales with the
+    MEMORY SUBSYSTEM, which a single box has exactly one of). The two
+    ceilings bracket what any N-vs-4N measurement on this host can show:
+    a bandwidth-bound stage cannot beat the bandwidth ceiling no matter
+    how well it parallelizes."""
+    import multiprocessing as mp
+    import time
+
+    os.environ["OMP_NUM_THREADS"] = "1"
+
+    def worker(q, n_iter):
+        import numpy as np
+
+        if kind == "compute":
+            a = np.random.RandomState(0).standard_normal((600, 600))
+            t0 = time.time()
+            for _ in range(n_iter):
+                (a @ a).sum()
+            q.put(n_iter / (time.time() - t0))
+        else:
+            # STREAM triad: pages pre-touched, only the streaming region
+            # timed per worker (wall-clock over the whole process would
+            # fold allocation/page-fault storms into the number — that
+            # mis-measured an early r4 probe as a bogus 0.08 "ceiling")
+            n = 30_000_000
+            b = np.ones(n)
+            c = np.ones(n)
+            a = np.empty(n)
+            np.add(b, c, out=a)  # fault every page in
+            t0 = time.time()
+            for _ in range(n_iter):
+                np.add(b, c, out=a)
+            q.put(n_iter * 3 * n * 8 / (time.time() - t0) / 1e9)  # GB/s
+
+    n_iter = 60 if kind == "compute" else 8
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q, n_iter)) for _ in range(nproc)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    rates = [q.get() for _ in range(nproc)]
+    print("CEILING_RESULT", sum(rates))
+
+
+def measure_ceilings(n: int) -> dict:
+    out = {}
+    for kind in ("compute", "bandwidth"):
+        rates = {}
+        for cpus in (n, 4 * n):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--ceiling-child", str(cpus), kind,
+            ]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            for line in res.stdout.splitlines():
+                if line.startswith("CEILING_RESULT"):
+                    rates[cpus] = float(line.split()[1])
+        out[f"{kind}_ceiling_eff"] = round(rates[4 * n] / rates[n] / 4.0, 3)
+    return out
+
+
 def child(cpus: int, rows: int) -> None:
     from bench import fetch_validate_throughput, frontier_throughput
     from web_scraper_spark.session import get_spark
@@ -80,6 +145,10 @@ def main() -> None:
         i = sys.argv.index("--child")
         child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
         return
+    if "--ceiling-child" in sys.argv:
+        i = sys.argv.index("--ceiling-child")
+        ceiling_child(int(sys.argv[i + 1]), sys.argv[i + 2])
+        return
     # default N=4 → 4N=16: this sandbox exposes 32 vCPUs but only ~16
     # physical cores (measured: 32 concurrent numpy workers run at ~0.6×
     # per-core speed, 16 run at ~0.97×), so 8→32 would measure SMT
@@ -111,6 +180,11 @@ def main() -> None:
             hi["fetch_images_per_sec"] = b["fetch_images_per_sec"]
     eff = (hi["schedule_urls_per_sec"] / lo["schedule_urls_per_sec"]) / 4.0
     fetch_eff = (hi["fetch_images_per_sec"] / lo["fetch_images_per_sec"]) / 4.0
+    # same-session host ceilings: what 4->16 on ONE box can show at all.
+    # Bandwidth-bound stages (scan/shuffle/sort/checkpoint) are capped by
+    # bandwidth_ceiling_eff, NOT 1.0 — a real 4-node cluster brings 4
+    # memory subsystems, the proxy brings one. Report raw AND normalized.
+    ceilings = measure_ceilings(n)
     print(
         json.dumps(
             {
@@ -124,6 +198,10 @@ def main() -> None:
                 "fetch_images_per_sec_n": lo["fetch_images_per_sec"],
                 "fetch_images_per_sec_4n": hi["fetch_images_per_sec"],
                 "fetch_scaling_efficiency": round(fetch_eff, 3),
+                **ceilings,
+                "schedule_eff_vs_bandwidth_ceiling": round(
+                    eff / max(ceilings["bandwidth_ceiling_eff"], 1e-9), 3
+                ),
                 "detail": {"n": lo, "4n": hi},
             }
         )

@@ -1697,12 +1697,13 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (the frame-extraction pass a video-training
     pipeline runs before captioning): every 4th frame per clip → one row
     per sampled frame with phash, brightness, and a scene-cut flag
-    (phash hamming vs the previous sampled frame ≥ 16). Real plumbing
-    over the FVID stub container (video.py docstring — swap in pyav for
-    h264 and nothing downstream changes).
+    (phash hamming vs the previous sampled frame ≥ 16). Real container:
+    MP4/ISO-BMFF with motion-JPEG samples (functions/mp4.py) — sampling
+    seeks per-frame byte ranges through the stsc/stco/stsz tables; swap
+    in pyav for temporal codecs and nothing downstream changes.
 
-    Scale: map-side explode — no shuffle; only sampled frames are
-    materialized per clip.
+    Scale: map-side explode — no shuffle; only sampled frames' byte
+    ranges are read and decoded per clip.
 
     Oracle: VALUES ground truth regenerated from datagen's frame
     parameters (groundtruth.expected_video_frame_sample)."""
@@ -1737,6 +1738,31 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("is_cut"), F.col("frame_idx"))), F.lit(-1)
         ).alias("first_cut_idx"),  # -1 = no cut (gate compare is null-free)
     )
+
+
+def q_video_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demux-level container audit over the video corpus: per clip the
+    real MP4 metadata — codec fourcc, frame count, fps, dims, sample
+    payload bytes, box-structure overhead — resolved from the ISO BMFF
+    tree (ftyp/moov/stbl) WITHOUT decoding a single sample. This is the
+    O(metadata) inventory pass a crawl runs before paying for frame
+    extraction; the reference stops at magic-byte sniffing of the same
+    boxes (file_validator.py:185-220) — this parses them for real.
+
+    Scale: map-only Arrow-batched pass, no shuffle, and per-clip cost is
+    O(moov size), independent of payload length (the demuxer never reads
+    mdat).
+
+    Oracle: VALUES ground truth — the deterministic encode replayed +
+    parsed driver-side (groundtruth.expected_video_container_stats), so
+    the Spark pass must recover identical metadata from the blobs."""
+    from . import datagen, schemas
+    from .functions.multimodal import video_container_stats
+
+    payload = spark.createDataFrame(
+        datagen.gen_video_payload_pdf(36), schema=schemas.VIDEO_PAYLOAD_SCHEMA
+    )
+    return video_container_stats(payload).drop("error")
 
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3261,6 +3287,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frame_sample,
     "video_scene_cuts": q_video_scene_cuts,
+    "video_container_stats": q_video_container_stats,
     "warc_ingest": q_warc_ingest,
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,

@@ -336,3 +336,70 @@ def video_frames(payload: DataFrame, every_n: int = 4) -> DataFrame:
     return payload.select("media_id", "bytes").mapInPandas(
         _work, schema=VIDEO_FRAMES_SCHEMA
     )
+
+
+VIDEO_CONTAINER_SCHEMA = (
+    "media_id string, container_bytes int, codec string, n_frames int, "
+    "fps int, w int, h int, sample_bytes int, overhead_bytes int, "
+    "error string"
+)
+
+
+def video_container_stats(payload: DataFrame) -> DataFrame:
+    """Demux-level container audit — one row per clip from the MP4
+    metadata tree alone (functions/mp4.parse_mp4): codec fourcc, frame
+    count, fps, dimensions, total sample payload bytes, and container
+    overhead (box structure + tables). NO sample is decoded — this is
+    the O(metadata) pass a crawl runs to validate/inventory a video
+    corpus before paying for frame extraction (reference
+    file_validator.py:185-220 checks the same boxes, but only as magic
+    bytes). Map-only; undecodable blobs fail soft to an error row."""
+    from . import mp4 as _mp4
+
+    def _work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                try:
+                    data = bytes(data)
+                    m = _mp4.parse_mp4(data)
+                    sample_bytes = sum(s for _, s in m["samples"])
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "container_bytes": len(data),
+                            "codec": m["codec"],
+                            "n_frames": m["n_frames"],
+                            "fps": m["fps"],
+                            "w": m["w"],
+                            "h": m["h"],
+                            "sample_bytes": sample_bytes,
+                            "overhead_bytes": len(data) - sample_bytes,
+                            "error": None,
+                        }
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "container_bytes": len(bytes(data)) if data is not None else 0,
+                            "codec": None, "n_frames": None, "fps": None,
+                            "w": None, "h": None, "sample_bytes": None,
+                            "overhead_bytes": None,
+                            "error": f"validation: {e}",
+                        }
+                    )
+            from .imaging import typed_frame
+
+            yield typed_frame(
+                rows,
+                {
+                    "container_bytes": "Int32", "n_frames": "Int32",
+                    "fps": "Int32", "w": "Int32", "h": "Int32",
+                    "sample_bytes": "Int32", "overhead_bytes": "Int32",
+                },
+            )
+
+    return payload.select("media_id", "bytes").mapInPandas(
+        _work, schema=VIDEO_CONTAINER_SCHEMA
+    )
