@@ -129,7 +129,7 @@ class CrawlEngine:
         bloom_min_seen: int = 20_000,
         bloom_capacity: int | None = None,
         bloom_shards_n: int = 32,
-        bloom_partition_aligned: bool = False,
+        bloom_partition_aligned: bool | None = None,
         max_storage_bytes: int | None = None,
         fetch_timeout_s: float = 600.0,
         seen_filter: str = "bloom",
@@ -145,9 +145,12 @@ class CrawlEngine:
         self.bloom_min_seen = bloom_min_seen
         self.bloom_capacity = bloom_capacity
         self.bloom_shards_n = bloom_shards_n
-        # False = broadcast probe (sandbox-sized filters). Flip True for
-        # 10^9+-key filters: the probe cogroups frontier rows with their
-        # bitset shard instead of collecting the filter to the driver.
+        # None (default) = AUTO: bloom_probe picks broadcast for filters
+        # under BLOOM_BROADCAST_MAX_BYTES (256 MB) and the
+        # partition-aligned cogroup probe above it — a 10^9+-key filter
+        # must never serialize through a driver collect + broadcast per
+        # batch (the r4 phase probe measured that serial slice directly).
+        # Explicit True/False still forces a strategy (tests pin both).
         self.bloom_partition_aligned = bloom_partition_aligned
         # "bloom" (append-only, 1% FPR default) or "cuckoo" (deletable,
         # ~0.012% FPR — operators/cuckoo.py). Same sharding/probe contract.
