@@ -181,43 +181,9 @@ def _flat_decode_table(
     return lens.tolist(), syms.tolist()
 
 
-# ------------------------------------------------------------- bit writer
-
-
-class _BitWriter:
-    """MSB-first bit packer with JPEG byte stuffing (FF → FF 00)."""
-
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def put(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
-
-
-def _magnitude(v: int) -> tuple[int, int]:
-    """signed value → (category/size, appended bits) per T.81 F.1.2.1."""
-    if v == 0:
-        return 0, 0
-    size = int(abs(v)).bit_length()
-    return size, (v if v >= 0 else v + (1 << size) - 1)
-
-
 # --------------------------------------------------------------- encoder
+# (bit packing / magnitude coding per T.81 F.1.2.1 are inlined in the
+# encoder's symbol loop — hot path, see encode_jpeg)
 
 
 def _geometry(w: int, h: int, samp: list[tuple[int, int]]):
@@ -436,10 +402,6 @@ class _BitReader:
         pos = self.pos
         self.pos = pos + n
         return (self.win[pos >> 3] >> (32 - (pos & 7) - n)) & ((1 << n) - 1)
-
-
-def _extend(v: int, size: int) -> int:
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
