@@ -242,15 +242,73 @@ def test_read_buckets_prunes_before_listing_manifests(spark, ice, monkeypatch):
     assert opened == [ml[0]]
 
 
-def test_concurrent_commit_cas_rejected(spark, ice):
-    """The O_EXCL metadata create is the HadoopTables commit CAS: a racing
-    writer that lost must get FileExistsError, never silently overwrite."""
+def test_concurrent_commit_cas_rejected(spark, ice, monkeypatch):
+    """The exclusive metadata create is the HadoopTables commit CAS: two
+    writers that derived the SAME next version race on it, and the loser
+    must get FileExistsError — never silently overwrite the winner."""
     ice.commit_overwrite(_df(spark, [(1, "a")]))
-    # simulate the loser: a v2 metadata file already exists
-    with open(os.path.join(ice._meta_dir, "v2.metadata.json"), "w") as f:
-        f.write("{}")
+    # loser's view of the version probe is frozen pre-race
+    monkeypatch.setattr(ice, "_max_metadata_version", lambda: 1)
+    winner = IcebergSnapshotTable(os.path.dirname(ice.root), "t")
+    winner.commit_append(_df(spark, [(2, "b")]))  # lands v2, flips the hint
     with pytest.raises(FileExistsError):
-        ice.commit_append(_df(spark, [(2, "b")]))
+        ice.commit_append(_df(spark, [(3, "c")]))
+    # the winner's commit is intact (no silent clobber)
+    assert {r["k"] for r in winner.read(spark).collect()} == {1, 2}
+
+
+def test_exclusive_create_is_atomic_cas(tmp_path):
+    """_atomic_json(exclusive=True) is a kernel-level CAS (os.link), not a
+    check-then-rename: the loser raises and the winner's bytes survive."""
+    from web_scraper_spark.sources.iceberg import _atomic_json
+
+    p = str(tmp_path / "v2.metadata.json")
+    _atomic_json(p, {"who": "winner"}, exclusive=True)
+    with pytest.raises(FileExistsError):
+        _atomic_json(p, {"who": "loser"}, exclusive=True)
+    with open(p) as f:
+        assert json.load(f) == {"who": "winner"}
+    # no tmp litter from either attempt
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".tmp")] == []
+
+
+def test_crash_window_orphan_does_not_wedge_commits(spark, ice):
+    """Crash between the exclusive v{N} create and the version-hint flip:
+    v{N} exists on disk but the hint still says N-1. The retried commit
+    (the engine's crash-resume path re-runs the batch from the checkpoint)
+    must skip PAST the orphan — deriving the next version from the files
+    on disk like HadoopTables — instead of recomputing v=N and wedging on
+    the CAS forever."""
+    ice.commit_overwrite(_df(spark, [(1, "a")]))
+    # simulate the crash window: orphan v2 written, hint never flipped
+    with open(os.path.join(ice._meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump({"snapshots": [], "current-snapshot-id": None}, f)
+    assert ice.latest_version() == 1
+    v = ice.commit_append(_df(spark, [(2, "b")]))
+    assert v == 3 and ice.latest_version() == 3
+    assert {r["k"] for r in ice.read(spark).collect()} == {1, 2}
+    # the successful retry reclaimed the orphan (it was provably
+    # unreferenced: the crashed commit died before any checkpoint write)
+    assert not os.path.exists(os.path.join(ice._meta_dir, "v2.metadata.json"))
+    # and the table keeps committing normally afterwards
+    assert ice.commit_append(_df(spark, [(3, "c")])) == 4
+    assert {r["k"] for r in ice.read(spark).collect()} == {1, 2, 3}
+
+
+def test_vacuum_reclaims_crash_orphan_metadata(spark, ice):
+    """vacuum run BEFORE any retried commit also sweeps the above-hint
+    orphan (the retried-commit path reclaims it itself — see the
+    crash-window test)."""
+    ice.commit_overwrite(_df(spark, [(1, "a")]))
+    with open(os.path.join(ice._meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump({"snapshots": [], "current-snapshot-id": None}, f)
+    ice.vacuum(keep_from_version=1)
+    names = set(os.listdir(ice._meta_dir))
+    assert "v2.metadata.json" not in names
+    assert "v1.metadata.json" in names
+    assert {r["k"] for r in ice.read(spark).collect()} == {1}
+    # the swept orphan does not block the next commit either
+    assert ice.commit_append(_df(spark, [(2, "b")])) == 2
 
 
 def test_data_files_referenced_individually(spark, ice):

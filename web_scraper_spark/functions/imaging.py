@@ -251,7 +251,9 @@ def decode_image(data: bytes, fmt: str, codec: str = "auto") -> np.ndarray:
        (``codec="pil"`` still forces PIL — the cross-codec tests use it);
     3. ``codec="pil"`` or (``"auto"`` and PIL importable) → PIL, the
        deployment path for variants the numpy decoders don't cover;
-    4. numpy codecs: real baseline JPEG / filter-0/1/2 RGB8 PNG.
+    4. numpy codecs: real baseline JPEG / RGB8 PNG with all five RFC 2083
+       row filters (None/Sub/Up/Average/Paeth; interlace, palette and
+       other bit depths still raise).
 
     PNG round-trips identically on the numpy and PIL paths (the encoder
     emits standard filter-0 PNG), so lossless ground truth is

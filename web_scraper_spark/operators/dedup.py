@@ -381,8 +381,9 @@ def mark_seen(
 
     ``bloom_partition_aligned``: False (default) = broadcast probe, True =
     executor-resident cogroup probe, None = size-based auto (costs one tiny
-    geometry-lookup job — callers in a hot loop should pass an explicit
-    bool; CrawlEngine does).
+    geometry-lookup job — hot-loop callers should resolve once and pass an
+    explicit bool; CrawlEngine resolves AUTO once per engine via
+    ``_resolve_probe_aligned`` and hands this function the cached result).
 
     ``filter_kind``: "bloom" (default) or "cuckoo" — with "cuckoo",
     ``bloom_shards`` carries cuckoo shards (operators/cuckoo.py) and the

@@ -145,13 +145,18 @@ class CrawlEngine:
         self.bloom_min_seen = bloom_min_seen
         self.bloom_capacity = bloom_capacity
         self.bloom_shards_n = bloom_shards_n
-        # None (default) = AUTO: bloom_probe picks broadcast for filters
-        # under BLOOM_BROADCAST_MAX_BYTES (256 MB) and the
-        # partition-aligned cogroup probe above it — a 10^9+-key filter
-        # must never serialize through a driver collect + broadcast per
-        # batch (the r4 phase probe measured that serial slice directly).
-        # Explicit True/False still forces a strategy (tests pin both).
+        # None (default) = AUTO: broadcast probe for filters under
+        # BLOOM_BROADCAST_MAX_BYTES (256 MB), partition-aligned cogroup
+        # probe above — a 10^9+-key filter must never serialize through a
+        # driver collect + broadcast per batch (the r4 phase probe measured
+        # that serial slice directly). AUTO is resolved ONCE per engine
+        # (_resolve_probe_aligned — geometry is fixed at init, so the
+        # size-based choice never changes until regrow_filter) and run_batch
+        # passes mark_seen the resolved bool: no per-batch geometry-lookup
+        # job in the hot loop. Explicit True/False still forces a strategy
+        # (tests pin both).
         self.bloom_partition_aligned = bloom_partition_aligned
+        self._probe_aligned_cache: bool | None = None
         # "bloom" (append-only, 1% FPR default) or "cuckoo" (deletable,
         # ~0.012% FPR — operators/cuckoo.py). Same sharding/probe contract.
         if seen_filter not in ("bloom", "cuckoo"):
@@ -303,6 +308,44 @@ class CrawlEngine:
             return base
         return self._filter_upd()(base, keys, n_shards=self.bloom_shards_n)
 
+    def _resolve_probe_aligned(self, bloom_shards: DataFrame | None) -> bool | None:
+        """Resolve the AUTO probe strategy ONCE per engine lifetime.
+
+        The filter geometry is fixed at init, so the size-based
+        broadcast-vs-aligned choice cannot change between batches; paying a
+        geometry-lookup Spark job (``.first()`` through the lazy journal
+        fold) on every run_batch would put a serial driver round-trip back
+        into the hot loop. Resolution is cached on the engine and
+        invalidated only by ``regrow_filter`` (the one op that changes
+        geometry). Explicit ``bloom_partition_aligned`` bools bypass the
+        lookup entirely."""
+        if self.bloom_partition_aligned is not None:
+            return self.bloom_partition_aligned
+        if bloom_shards is None:
+            return None
+        if self._probe_aligned_cache is None:
+            if self.seen_filter == "cuckoo":
+                from ..operators.cuckoo import CUCKOO_BROADCAST_MAX_BYTES, SLOTS
+
+                geom = bloom_shards.select("m_buckets").first()
+                total = (
+                    0
+                    if geom is None
+                    else int(geom["m_buckets"]) * SLOTS * 2 * self.bloom_shards_n
+                )
+                self._probe_aligned_cache = total > CUCKOO_BROADCAST_MAX_BYTES
+            else:
+                from ..operators.dedup import BLOOM_BROADCAST_MAX_BYTES
+
+                geom = bloom_shards.select("m_bits").first()
+                total = (
+                    0
+                    if geom is None
+                    else int(geom["m_bits"]) // 8 * self.bloom_shards_n
+                )
+                self._probe_aligned_cache = total > BLOOM_BROADCAST_MAX_BYTES
+        return self._probe_aligned_cache
+
     def _fold_filter(self, spark: SparkSession, v: dict, origin: str) -> dict | None:
         """Durably fold the delta journal into the base bitsets and truncate
         the journal — the amortized O(m) rewrite the per-batch path avoids.
@@ -450,7 +493,7 @@ class CrawlEngine:
             bloom_min_seen=self.bloom_min_seen,
             bloom_shards=bloom_shards,
             n_shards=self.bloom_shards_n,
-            bloom_partition_aligned=self.bloom_partition_aligned,
+            bloom_partition_aligned=self._resolve_probe_aligned(bloom_shards),
             filter_kind=self.seen_filter,
         )
         batch = batch.withColumn("is_seen", F.col("is_seen") | F.col("__dup")).drop("__dup")
@@ -1262,6 +1305,8 @@ class CrawlEngine:
         )
         v["bloom"] = self.bloom.commit_overwrite(rebuilt, origin="regrow")
         v["bloom_delta"] = self.bloom_delta.truncate()
+        # geometry changed — the cached AUTO probe strategy must re-resolve
+        self._probe_aligned_cache = None
         state = {
             **self._carry_state(ck),
             "versions": v,

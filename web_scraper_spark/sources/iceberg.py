@@ -80,14 +80,23 @@ from pyspark.sql import functions as F
 
 
 def _atomic_json(path: str, obj: dict, exclusive: bool = False) -> None:
-    tmp = path + ".tmp"
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f)
         f.flush()
         os.fsync(f.fileno())
-    if exclusive and os.path.exists(path):
+    if exclusive:
+        # True CAS: os.link fails with EEXIST atomically in the kernel. A
+        # check-then-rename (os.path.exists + os.replace) is NOT a CAS —
+        # two concurrent writers could both pass the exists check and the
+        # loser's replace would silently clobber the winner's commit.
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            raise FileExistsError(f"concurrent commit: {path} exists") from None
         os.remove(tmp)
-        raise FileExistsError(f"concurrent commit: {path} exists")
+        return
     os.replace(tmp, path)
 
 
@@ -120,6 +129,30 @@ class IcebergSnapshotTable:
             return 0
         with open(p) as f:
             return int(f.read().strip())
+
+    def _metadata_versions_on_disk(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._meta_dir):
+            if f.startswith("v") and f.endswith(".metadata.json"):
+                try:
+                    out.append(int(f[1 : -len(".metadata.json")]))
+                except ValueError:
+                    pass
+        return out
+
+    def _max_metadata_version(self) -> int:
+        """Highest version among the hint AND the v{N}.metadata.json files
+        actually on disk. A crash between the exclusive v{N} create and the
+        version-hint flip leaves an unreferenced orphan at N with the hint
+        still at N-1; a committer that trusted the hint alone would
+        recompute v=N forever and wedge every retry on the CAS.
+        HadoopTables probes metadata files rather than trusting the hint
+        for exactly this reason. Committing PAST the orphan is correct:
+        lineage extends ``base_version`` (from the caller's checkpoint),
+        never whatever the orphan contained; _commit_snapshot deletes the
+        orphan once its own hint flip lands, and vacuum sweeps any
+        above-hint leftovers."""
+        return max([self.latest_version()] + self._metadata_versions_on_disk())
 
     def _metadata(self, version: int) -> dict:
         if version == 0:
@@ -200,8 +233,22 @@ class IcebergSnapshotTable:
         (orphan protection: lineage extends BASE, not whatever ``latest``
         points at), O_EXCL metadata create as the commit CAS. ``sid`` is
         the id the caller already stamped into its ADDED manifests, so
-        manifest ``added_snapshot_id`` and the snapshot record agree."""
-        v = self.latest_version() + 1
+        manifest ``added_snapshot_id`` and the snapshot record agree.
+
+        The new version is derived from ``_max_metadata_version()`` — not
+        the hint — so a crash that left an unreferenced orphan v{N}
+        (metadata created, hint flip never reached) cannot wedge the
+        table: the retried commit lands at N+1 and the hint flip makes it
+        current. Versions above the pre-commit hint are provably
+        unreferenced (the crashed commit died before any checkpoint could
+        record them — the engine commits tables first, checkpoint after),
+        so they are deleted once this commit's own hint flip lands; their
+        manifest lists fall to vacuum's reachability sweep."""
+        hint = self.latest_version()
+        v = self._max_metadata_version() + 1
+        crash_orphans = [
+            n for n in self._metadata_versions_on_disk() if hint < n < v
+        ]
         if sid is None:
             sid = uuid.uuid4().int >> 64
         base_meta = self._metadata(base_version)
@@ -242,6 +289,11 @@ class IcebergSnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(hint_tmp, os.path.join(self._meta_dir, "version-hint.text"))
+        for n in crash_orphans:
+            try:
+                os.remove(os.path.join(self._meta_dir, f"v{n}.metadata.json"))
+            except FileNotFoundError:
+                pass
         return v
 
     def _write_group(self, df: DataFrame) -> list[str]:
@@ -370,6 +422,21 @@ class IcebergSnapshotTable:
             if os.path.exists(mp):
                 os.remove(mp)
                 dropped_versions += 1
+        # crash-window orphans: a v{N} with N > hint was created but its
+        # hint flip never landed; commits skip past it
+        # (_max_metadata_version), so it is permanently unreferenced
+        # metadata — reclaim it here (its manifest list / manifests fall to
+        # the reachability sweep below). Vacuum runs quiesced from the
+        # single writer, so nothing in-flight can be at > hint.
+        for f in list(os.listdir(self._meta_dir)):
+            if f.startswith("v") and f.endswith(".metadata.json"):
+                try:
+                    n = int(f[1 : -len(".metadata.json")])
+                except ValueError:
+                    continue
+                if n > latest:
+                    os.remove(os.path.join(self._meta_dir, f))
+                    dropped_versions += 1
         for f in os.listdir(self._meta_dir):
             if f.startswith("snap-") and f not in kept_lists:
                 os.remove(os.path.join(self._meta_dir, f))
