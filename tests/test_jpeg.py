@@ -98,13 +98,81 @@ def test_truncated_stream_raises():
         jpeg.decode_jpeg(b"\x00\x01\x02")
 
 
-def test_progressive_marker_raises_not_implemented():
-    """A SOF2 stream must hit the honest stub boundary, not garbage."""
+def test_unsupported_sof_raises_not_implemented():
+    """Arithmetic/lossless SOF markers hit the honest stub boundary, not
+    garbage (progressive SOF2 is now supported — tested below)."""
     blob = bytearray(jpeg.encode_jpeg(make_image(15, 32, 24)))
     sof0 = bytes(blob).find(b"\xff\xc0")
-    blob[sof0 + 1] = 0xC2  # flip baseline → progressive
+    blob[sof0 + 1] = 0xC9  # flip baseline → arithmetic sequential
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("w,h", [(32, 24), (96, 72), (17, 13), (33, 25)])
+@pytest.mark.parametrize("sub", [False, True])
+def test_progressive_decodes_identical_to_baseline(w, h, sub):
+    """A progressive (SOF2) stream carries the same quantized
+    coefficients as the baseline stream of the same image, so decoding
+    both must give pixel-identical output. The scan script covers
+    interleaved DC-first at al=1, DC refinement, per-component
+    spectral-selection AC-first passes with EOB runs, and AC refinement
+    (T.81 G.1.2.2-G.1.2.3)."""
+    img = make_image(w * 100 + h, w, h)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsample=sub))
+    prog_blob = jpeg.encode_jpeg(img, subsample=sub, progressive=True)
+    # 10 scans emitted (raw count can over-match inside table bytes)
+    assert b"\xff\xc2" in prog_blob and prog_blob.count(b"\xff\xda") >= 10
+    np.testing.assert_array_equal(base, jpeg.decode_jpeg(prog_blob))
+
+
+def test_progressive_noise_and_qualities():
+    """Worst-case coefficient statistics (uniform noise) and low quality
+    (long EOB runs) both survive the progressive round trip."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    for q in (97, 30):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, progressive=True))
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_truncated_raises():
+    blob = jpeg.encode_jpeg(make_image(9, 64, 48), progressive=True)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(blob[: len(blob) // 2])
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+def test_pil_reads_our_progressive_stream():
+    """Independent decoder cross-check: PIL must read our SOF2 stream and
+    agree within the lossy tolerance."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = make_image(77, 96, 72)
+    blob = jpeg.encode_jpeg(img, progressive=True)
+    pil = np.asarray(Image.open(BytesIO(blob)).convert("RGB"))
+    assert psnr(jpeg.decode_jpeg(blob), pil) > 35.0
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+def test_we_read_pil_progressive_stream():
+    """And the other direction: a PIL-produced progressive JPEG decodes
+    through our SOF2 path within the lossy tolerance."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = make_image(78, 96, 72)
+    buf = BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95, progressive=True)
+    ours = jpeg.decode_jpeg(buf.getvalue())
+    pil = np.asarray(Image.open(BytesIO(buf.getvalue())).convert("RGB"))
+    assert psnr(ours, pil) > 35.0
 
 
 def test_quant_tables_scale_with_quality():
@@ -173,3 +241,44 @@ def test_sof_dimensions_parse():
     sof = blob.find(b"\xff\xc0")
     _, h, w, _ = struct.unpack(">BHHB", blob[sof + 4 : sof + 10])
     assert (w, h) == (80, 56)
+
+
+# ------------------------------------------------- native kernel parity
+
+
+def _decode_via(path, blob):
+    """Decode forcing one entropy path: 'native' (skip if no compiler)
+    or 'python' (always available)."""
+    from web_scraper_spark.functions import native
+
+    saved = native._loaded
+    try:
+        if path == "python":
+            native._loaded = (True, None)
+        elif native.jpeg_decode_kernel() is None:
+            pytest.skip("no C compiler on this host")
+        return jpeg.decode_jpeg(blob)
+    finally:
+        native._loaded = saved
+
+
+@pytest.mark.parametrize("ri,sub", [(0, False), (0, True), (4, False), (4, True)])
+def test_native_kernel_equals_python_fallback(ri, sub):
+    """The ctypes C entropy kernel and the pure-Python loop are the same
+    decoder: pixel-identical output across subsampling and restart
+    variants (the fallback is what runs on compiler-less hosts)."""
+    img = make_image(20_250_821, 96, 72)
+    blob = jpeg.encode_jpeg(img, restart_interval=ri, subsample=sub)
+    np.testing.assert_array_equal(
+        _decode_via("native", blob), _decode_via("python", blob)
+    )
+
+
+def test_native_kernel_error_parity_on_truncation():
+    """Both entropy paths reject a truncated stream with ValueError (the
+    kernel's error codes map back to the same exception type)."""
+    blob = jpeg.encode_jpeg(make_image(7, 64, 48))
+    cut = blob[: len(blob) * 2 // 3]
+    for path in ("native", "python"):
+        with pytest.raises(ValueError):
+            _decode_via(path, cut)

@@ -18,29 +18,41 @@ Encoder (``encode_jpeg``):
     DHT segments (any conforming JPEG may carry its own tables; building
     them from scratch beats transcribing Annex K's 162-entry lists and
     is provably consistent because the decoder reads them back from DHT);
+  * the whole entropy stage is VECTORIZED numpy (token-array build →
+    prefix-sum bit packing → vectorized stuffing, see _entropy_encode) —
+    no per-symbol Python on the encode path;
   * optional restart intervals (DRI/RSTn) to exercise the decoder's
-    resync path;
+    resync path; ``progressive=True`` emits a conforming SOF2 multi-scan
+    stream (spectral selection + successive approximation) that decodes
+    pixel-identical to the baseline stream;
   * fully deterministic: same pixels + options → same bytes.
 
 Decoder (``decode_jpeg``):
   * generic baseline decoder: parses DQT/SOF0/DHT/DRI/SOS, arbitrary
     sampling factors 1-2, 1 or 3 components, restart markers; Huffman
     decode via a flat 2^16 lookup table built per DHT (numpy slice
-    fills), magnitude bits read straight off the stuffed-byte-stripped
-    stream; dequant + inverse zigzag + IDCT vectorized over all blocks
+    fills); dequant + inverse zigzag + IDCT vectorized over all blocks
     of a component in one batched BLAS matmul;
-  * progressive (SOF2), 12-bit, arithmetic coding → NotImplementedError
+  * the per-symbol Huffman chain (the one inherently sequential part)
+    runs in a ~100-line C kernel compiled on demand from
+    ``_jpeg_kernel.c`` via the system compiler + ctypes
+    (functions/native.py); hosts without a compiler transparently use
+    the pure-Python loop (_decode_entropy_python) — the two paths are
+    equality-pinned by tests/test_jpeg.py;
+  * progressive (SOF2) streams decode through the multi-scan path
+    (_decode_progressive): DC/AC first + refinement scans, EOB runs,
+    spectral selection, successive approximation;
+  * 12-bit, arithmetic, lossless, hierarchical → NotImplementedError
     (honest stub boundary: swap in PIL via ``codec="pil"`` on a real
     cluster for exotic variants).
 
-Throughput note (BENCH.md): the entropy loops are per-symbol Python
-(~µs/symbol, inlined int bit-ops) — ~1-4 ms encode/decode for the
-sandbox's ≤96×72 fixtures after the hot-loop inlining + batched-matmul
-DCT. That is the honest price of a real format in a no-libjpeg
-container; the Spark plan shape (Arrow-batched pandas UDF, per-image
-loop) is identical to what a libjpeg-turbo/PIL codec would use, and the
-work is embarrassingly parallel so the north-rule scaling legs are
-unaffected.
+Throughput note (BENCH.md): after vectorizing the encoder's entropy
+stage and moving the decoder's symbol chain into the C kernel, the
+sandbox's ≤96×72 fixtures encode in ~1.1 ms and decode in ~0.6 ms
+(r4: ~2.7 / ~2.3 ms). The Spark plan shape (Arrow-batched pandas UDF,
+per-image loop) is identical to what a libjpeg-turbo/PIL codec would
+use, and the work is embarrassingly parallel so the north-rule scaling
+legs are unaffected.
 """
 
 from __future__ import annotations
@@ -49,6 +61,8 @@ import functools
 import struct
 
 import numpy as np
+
+from .native import jpeg_decode_kernel
 
 # --------------------------------------------------------------- tables
 
@@ -160,12 +174,13 @@ def canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, in
 @functools.lru_cache(maxsize=32)
 def _flat_decode_table(
     bits: tuple[int, ...], vals: tuple[int, ...]
-) -> tuple[list[int], list[int]]:
-    """DHT → flat 2^16 (length, symbol) lookup lists: peek 16 bits, one
+) -> tuple[np.ndarray, np.ndarray]:
+    """DHT → flat 2^16 (length, symbol) lookup arrays: peek 16 bits, one
     index. Built with numpy slice fills (each code owns a contiguous
-    range), pulled to Python lists for the hot loop, and LRU-cached on
-    the table contents — streams from the same encoder (ours, or any
-    fixed-table producer) pay the build once per process, not per image."""
+    range) and LRU-cached on the table contents — streams from the same
+    encoder (ours, or any fixed-table producer) pay the build once per
+    process, not per image. The C kernel consumes these arrays directly;
+    the Python fallback loop uses the list view below."""
     lens = np.zeros(1 << 16, np.uint8)
     syms = np.zeros(1 << 16, np.int16)
     code, k = 0, 0
@@ -178,12 +193,393 @@ def _flat_decode_table(
             code += 1
             k += 1
         code <<= 1
+    return lens, syms
+
+
+@functools.lru_cache(maxsize=32)
+def _flat_decode_table_lists(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[list[int], list[int]]:
+    """List view of ``_flat_decode_table`` for the Python fallback loop
+    (list indexing is ~4× numpy scalar indexing in the hot path)."""
+    lens, syms = _flat_decode_table(bits, vals)
     return lens.tolist(), syms.tolist()
 
 
 # --------------------------------------------------------------- encoder
-# (bit packing / magnitude coding per T.81 F.1.2.1 are inlined in the
-# encoder's symbol loop — hot path, see encode_jpeg)
+# The entropy stage is fully vectorized (r4 verdict item: the per-symbol
+# Python loop halved fetch+validate throughput). Pipeline, all numpy:
+#   token build   — DC diffs / AC run-length symbols / ZRL / EOB as flat
+#                   (value, nbits) arrays ordered by a per-slot sort key;
+#   bit packing   — prefix-sum bit offsets → one scatter into a bit
+#                   array → np.packbits (T.81 F.1.2 semantics, 1-padded);
+#   byte stuffing — vectorized 0x00 insert after every 0xFF.
+# Output is byte-identical to the r4 per-symbol loop (same canonical
+# tables, same token order, same pad/stuff rules) — the round-trip and
+# PIL-interop tests pin that contract.
+
+
+def _codes_to_arrays(codes: dict[int, tuple[int, int]], n: int):
+    """symbol → (code, len) dict to dense int64 lookup arrays."""
+    code = np.zeros(n, np.int64)
+    ln = np.zeros(n, np.int64)
+    for sym, (c, l) in codes.items():
+        code[sym] = c
+        ln[sym] = l
+    return code, ln
+
+
+@functools.lru_cache(maxsize=1)
+def _encoder_code_arrays():
+    """The encoder's own canonical tables as dense lookup arrays, built
+    once per process (the AC spec alone is a 256-element scan)."""
+    dc_code, dc_len = _codes_to_arrays(canonical_codes(*_dc_table_spec()), 12)
+    ac_code, ac_len = _codes_to_arrays(canonical_codes(*_ac_table_spec()), 256)
+    return dc_code, dc_len, ac_code, ac_len
+
+
+def _bitsize(x: np.ndarray) -> np.ndarray:
+    """T.81 magnitude category per element (bit length of |x|); exact for
+    |x| < 2^23 (quantized coefficients are far below that)."""
+    return np.ceil(np.log2(np.abs(x) + 1.0)).astype(np.int64)
+
+
+def _pack_bits_stuffed(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """MSB-first concatenation of ``lens[i]``-bit values, 1-padded to a
+    byte boundary, with 0x00 stuffed after every 0xFF (T.81 F.1.2.3).
+
+    Each token is decomposed into the 5 bytes of a 40-bit window anchored
+    at its byte offset and summed per byte position with bincount —
+    tokens occupy disjoint bit ranges, so per-byte sums never carry. One
+    pass over the tokens, no per-bit expansion, no per-symbol Python."""
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    pad = (-total) % 8
+    if pad:  # 1-padding is itself a final (2^pad - 1, pad) token
+        vals = np.concatenate([vals, [(1 << pad) - 1]])
+        lens = np.concatenate([lens, [pad]])
+        total += pad
+    starts = np.cumsum(lens) - lens
+    byte_idx = starts >> 3
+    contrib = vals << (40 - (starts & 7) - lens)
+    n_bytes = total >> 3
+    out = np.zeros(n_bytes, np.float64)
+    for j in range(5):
+        b_j = (contrib >> (32 - 8 * j)) & 0xFF
+        out[: n_bytes] += np.bincount(
+            byte_idx + j, weights=b_j, minlength=n_bytes + 5
+        )[:n_bytes]
+    by = out.astype(np.uint8)
+    ff = np.nonzero(by == 0xFF)[0]
+    if ff.size:
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
+def _entropy_encode(
+    zz_blocks: list[np.ndarray],
+    comps: list[dict],
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+) -> bytes:
+    """Vectorized scan encode: MCU-interleaved token stream → stuffed
+    entropy bytes (+ RSTn joins). See the section comment above for the
+    pipeline; every stage is whole-array numpy."""
+    n_mcu = mcux * mcuy
+    m = np.arange(n_mcu)
+    my, mx = m // mcux, m % mcux
+    slots_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    S = n_mcu * slots_per_mcu
+
+    # MCU-ordered block sequence + owning component per slot
+    blocks_seq = np.empty((S, 64), np.int64)
+    comp_of_slot = np.empty(S, np.int64)
+    off = 0
+    for ci, c in enumerate(comps):
+        for v_ in range(c["v"]):
+            for h_ in range(c["h"]):
+                bi = (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_)
+                sel = m * slots_per_mcu + off
+                blocks_seq[sel] = zz_blocks[ci][bi]
+                comp_of_slot[sel] = ci
+                off += 1
+
+    # DC diffs per component, resetting the predictor at restart segments
+    dc = blocks_seq[:, 0]
+    diff = dc.copy()
+    for ci in range(len(comps)):
+        idx = np.nonzero(comp_of_slot == ci)[0]
+        dseq = dc[idx]
+        d = dseq.copy()
+        d[1:] -= dseq[:-1]
+        if restart_interval:
+            seg = (idx // slots_per_mcu) // restart_interval
+            first = np.ones(idx.size, bool)
+            first[1:] = seg[1:] != seg[:-1]
+            d[first] = dseq[first]
+        diff[idx] = d
+
+    dc_code, dc_len, ac_code, ac_len = _encoder_code_arrays()
+    zrl_c, zrl_l = int(ac_code[0xF0]), int(ac_len[0xF0])
+
+    # token sort key: slot*2048 + within-block position (DC=0, AC k-th
+    # coefficient at 16k with its ZRLs in the ≤3 keys just below, EOB at
+    # 64*16+16=1040 — all < 2048 so slots never interleave)
+    dsize = _bitsize(diff)
+    dmag = np.where(diff >= 0, diff, diff + np.left_shift(1, dsize) - 1)
+    tv_dc = (dc_code[dsize] << dsize) | dmag
+    tl_dc = dc_len[dsize] + dsize
+    key_dc = np.arange(S, dtype=np.int64) * 2048
+
+    ac = blocks_seq[:, 1:]
+    rows, cols = np.nonzero(ac)
+    vals = ac[rows, cols]
+    prev_cols = np.empty_like(cols)
+    if rows.size:
+        prev_cols[0] = -1
+        prev_cols[1:] = np.where(rows[1:] == rows[:-1], cols[:-1], -1)
+    run = cols - prev_cols - 1
+    nzrl = run >> 4
+    frun = run & 15
+    asize = _bitsize(vals)
+    sym = (frun << 4) | asize
+    amag = np.where(vals >= 0, vals, vals + np.left_shift(1, asize) - 1)
+    tv_ac = (ac_code[sym] << asize) | amag
+    tl_ac = ac_len[sym] + asize
+    key_ac = rows * 2048 + (cols + 1) * 16
+
+    total_zrl = int(nzrl.sum())
+    parent = np.repeat(np.arange(rows.size), nzrl)
+    intra = np.arange(total_zrl, dtype=np.int64) - np.repeat(
+        np.cumsum(nzrl) - nzrl, nzrl
+    )
+    key_zrl = key_ac[parent] - nzrl[parent] + intra
+    tv_zrl = np.full(total_zrl, zrl_c, np.int64)
+    tl_zrl = np.full(total_zrl, zrl_l, np.int64)
+
+    last_col = np.full(S, -1, np.int64)
+    last_col[rows] = cols  # row-major nonzero order: last write = max col
+    eob_rows = np.nonzero(last_col < 62)[0]
+    tv_eob = np.full(eob_rows.size, int(ac_code[0x00]), np.int64)
+    tl_eob = np.full(eob_rows.size, int(ac_len[0x00]), np.int64)
+    key_eob = eob_rows * 2048 + 1040
+
+    keys = np.concatenate([key_dc, key_zrl, key_ac, key_eob])
+    tv = np.concatenate([tv_dc, tv_zrl, tv_ac, tv_eob])
+    tl = np.concatenate([tl_dc, tl_zrl, tl_ac, tl_eob])
+    order = np.argsort(keys, kind="stable")
+    tv, tl, keys = tv[order], tl[order], keys[order]
+
+    if not restart_interval:
+        return _pack_bits_stuffed(tv, tl)
+    # per-restart-segment packing (each segment 1-padded independently),
+    # joined by the cycling RSTn markers — same bytes as the loop encoder
+    seg_of_tok = (keys // 2048 // slots_per_mcu) // restart_interval
+    bounds = np.searchsorted(
+        seg_of_tok, np.arange(1, int(seg_of_tok[-1]) + 1)
+    )
+    pieces = []
+    lo = 0
+    for si, hi in enumerate(list(bounds) + [tv.size]):
+        if si:
+            pieces.append(bytes([0xFF, 0xD0 + ((si - 1) & 7)]))
+        pieces.append(_pack_bits_stuffed(tv[lo:hi], tl[lo:hi]))
+        lo = hi
+    return b"".join(pieces)
+
+
+# ---------------------------------------------- progressive encoding
+# Used to produce conforming SOF2 streams for the decoder's progressive
+# path (and as a wild-variant generator for tests); correctness-path
+# Python, not the bench hot path. The scan script exercises every
+# progressive decode mode: interleaved DC first at al>0, DC refinement,
+# per-component spectral-selection AC first passes with EOB runs, and
+# AC refinement (T.81 G.1.2.2-G.1.2.3).
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _prog_encode_dc_first(zz_blocks, comps, mcux, mcuy, al, dc_codes):
+    w = _BitWriter()
+    pred = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for v_ in range(c["v"]):
+                for h_ in range(c["h"]):
+                    bi = (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_)
+                    dc = int(zz_blocks[ci][bi][0]) >> al  # arithmetic shift
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    size = abs(diff).bit_length()
+                    code, ln = dc_codes[size]
+                    w.put(code, ln)
+                    if size:
+                        w.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    return w.flush()
+
+
+def _prog_encode_dc_refine(zz_blocks, comps, mcux, mcuy, al):
+    w = _BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for v_ in range(c["v"]):
+                for h_ in range(c["h"]):
+                    bi = (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_)
+                    w.put((int(zz_blocks[ci][bi][0]) >> al) & 1, 1)
+    return w.flush()
+
+
+def _true_blocks(comps, ci):
+    """Raster block indices of the component's TRUE (non-MCU-padded)
+    grid — the data units a non-interleaved progressive scan covers."""
+    c = comps[ci]
+    bw, bh = -(-c["cw"] // 8), -(-c["ch"] // 8)
+    return [r * c["bx"] + cc for r in range(bh) for cc in range(bw)]
+
+
+def _prog_encode_ac_first(zz, blocks, ss, se, al, ac_codes):
+    w = _BitWriter()
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for bi in blocks:
+        blk = zz[bi]
+        r = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                r -= 16
+            size = abs(t).bit_length()
+            code, ln = ac_codes[(r << 4) | size]
+            w.put(code, ln)
+            w.put(t if t >= 0 else t + (1 << size) - 1, size)
+            r = 0
+            wrote = True
+        if r or not wrote:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+        # blocks that ended exactly at se with a coefficient need no EOB
+    emit_eobrun()
+    return w.flush()
+
+
+def _prog_encode_ac_refine(zz, blocks, ss, se, al, ac_codes):
+    """T.81 G.1.2.3 (libjpeg encode_mcu_AC_refine shape): newly
+    significant coefficients as (run,1)+sign, history coefficients as
+    buffered correction bits, trailing content folded into EOB runs."""
+    w = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits buffered behind the pending EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in be:
+            w.put(b, 1)
+        be.clear()
+
+    for bi in blocks:
+        blk = zz[bi]
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = ss - 1  # position of the last newly-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = ss + i
+        r = 0
+        br: list[int] = []  # correction bits since the last emitted symbol
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs are emitted at EVERY nonzero while the run exceeds 15
+            # and more new coefficients follow (k <= eob) — this exact
+            # placement keeps the buffered correction bits on the side of
+            # the ZRL where the decoder's advance loop consumes them;
+            # runs past the last new coefficient fold into the EOB run.
+            while r > 15 and k <= eob:
+                emit_eobrun()
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br.clear()
+            if t > 1:  # history coefficient: one correction bit
+                br.append(t & 1)
+                continue
+            # newly significant (t == 1; by construction k <= eob)
+            emit_eobrun()
+            code, ln = ac_codes[(r << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if int(blk[k]) > 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br.clear()
+            r = 0
+        if r or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+    return w.flush()
 
 
 def _geometry(w: int, h: int, samp: list[tuple[int, int]]):
@@ -218,9 +614,16 @@ def encode_jpeg(
     quality: int = 97,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """RGB8 (h, w, 3) uint8 → baseline JFIF bytes. See module docstring."""
+    """RGB8 (h, w, 3) uint8 → JFIF bytes: baseline SOF0 (default) or a
+    progressive SOF2 multi-scan stream (spectral selection + successive
+    approximation — see the scan script in the marker section). Both
+    carry the same quantized coefficients, so they decode to identical
+    pixels. See module docstring."""
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is not supported with progressive")
     h, w = img.shape[:2]
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)
@@ -252,94 +655,6 @@ def encode_jpeg(
         quant = np.round(coef / q).astype(np.int32)
         zz_blocks.append(quant.reshape(-1, 64)[:, _zz])
 
-    dc_codes = canonical_codes(*_dc_table_spec())
-    ac_codes = canonical_codes(*_ac_table_spec())
-    zrl_code, zrl_len = ac_codes[0xF0]
-    eob_code, eob_len = ac_codes[0x00]
-
-    # symbol loop is the encode hot path — bit accumulation inlined into
-    # plain-int locals (acc/nbits) with per-symbol byte drain + stuffing;
-    # rows pre-converted to Python lists (int() per numpy scalar is ~4×
-    # the cost of a list element)
-    entropy = bytearray()
-    acc = 0
-    nbits = 0
-    pred = [0, 0, 0]
-    n_mcu = mcux * mcuy
-    rst = 0
-    blk_lists = [zz.tolist() for zz in zz_blocks]
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            if nbits:  # flush: pad to byte with 1-bits
-                pad = 8 - nbits
-                acc = (acc << pad) | ((1 << pad) - 1)
-                nbits = 8
-            while nbits >= 8:
-                byte = (acc >> (nbits - 8)) & 0xFF
-                entropy.append(byte)
-                if byte == 0xFF:
-                    entropy.append(0x00)
-                nbits -= 8
-            acc = 0
-            entropy += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            pred = [0, 0, 0]
-        my, mx = divmod(m, mcux)
-        for ci, c in enumerate(comps):
-            for v_ in range(c["v"]):
-                for h_ in range(c["h"]):
-                    bi = (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_)
-                    blk = blk_lists[ci][bi]
-                    dc = blk[0]
-                    diff = dc - pred[ci]
-                    pred[ci] = dc
-                    if diff == 0:
-                        size = 0
-                    else:
-                        size = (diff if diff > 0 else -diff).bit_length()
-                    code, ln = dc_codes[size]
-                    acc = (acc << ln) | code
-                    nbits += ln
-                    if size:
-                        bits_v = diff if diff >= 0 else diff + (1 << size) - 1
-                        acc = (acc << size) | bits_v
-                        nbits += size
-                    run = 0
-                    last = 63
-                    while last and blk[last] == 0:
-                        last -= 1
-                    for k in range(1, last + 1):
-                        v = blk[k]
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            acc = (acc << zrl_len) | zrl_code
-                            nbits += zrl_len
-                            run -= 16
-                        size = (v if v > 0 else -v).bit_length()
-                        code, ln = ac_codes[(run << 4) | size]
-                        bits_v = v if v >= 0 else v + (1 << size) - 1
-                        acc = (acc << (ln + size)) | (code << size) | bits_v
-                        nbits += ln + size
-                        run = 0
-                    if last < 63:
-                        acc = (acc << eob_len) | eob_code
-                        nbits += eob_len
-                    while nbits >= 8:
-                        byte = (acc >> (nbits - 8)) & 0xFF
-                        entropy.append(byte)
-                        if byte == 0xFF:
-                            entropy.append(0x00)
-                        nbits -= 8
-                    acc &= (1 << nbits) - 1
-    if nbits:
-        pad = 8 - nbits
-        acc = (acc << pad) | ((1 << pad) - 1)
-        entropy.append(acc & 0xFF)
-        if (acc & 0xFF) == 0xFF:
-            entropy.append(0x00)
-
     # ------------------------------------------------------------ markers
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -352,7 +667,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for ci, c in enumerate(comps):
         sof += bytes([ci + 1, (c["h"] << 4) | c["v"], 0 if ci == 0 else 1])
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     for cls, spec in ((0, _dc_table_spec()), (1, _ac_table_spec())):
         bits, vals = spec
         for tid in (0, 1):  # same self-built table declared for both ids
@@ -361,13 +676,41 @@ def encode_jpeg(
             )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([3])
-    for ci in range(3):
-        td = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (td << 4) | td])
-    sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
-    out += entropy
+
+    def sos_seg(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 1 else 1
+            body += bytes([cid, (t << 4) | t])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    if not progressive:
+        out += sos_seg([1, 2, 3], 0, 63, 0, 0)
+        out += _entropy_encode(zz_blocks, comps, mcux, mcuy, restart_interval)
+    else:
+        # scan script (exercises every progressive decode mode):
+        #   1. DC first, all components interleaved, al=1
+        #   2. AC first per component, band 1-5, al=1
+        #   3. AC first per component, band 6-63, al=1 (EOB-run heavy)
+        #   4. DC refinement, al=0
+        #   5. AC refinement per component, band 1-63, al=0
+        dc_codes = canonical_codes(*_dc_table_spec())
+        ac_codes = canonical_codes(*_ac_table_spec())
+        out += sos_seg([1, 2, 3], 0, 0, 0, 1)
+        out += _prog_encode_dc_first(zz_blocks, comps, mcux, mcuy, 1, dc_codes)
+        for ci in range(3):
+            for ss_, se_ in ((1, 5), (6, 63)):
+                out += sos_seg([ci + 1], ss_, se_, 0, 1)
+                out += _prog_encode_ac_first(
+                    zz_blocks[ci], _true_blocks(comps, ci), ss_, se_, 1, ac_codes
+                )
+        out += sos_seg([1, 2, 3], 0, 0, 1, 0)
+        out += _prog_encode_dc_refine(zz_blocks, comps, mcux, mcuy, 0)
+        for ci in range(3):
+            out += sos_seg([ci + 1], 1, 63, 1, 0)
+            out += _prog_encode_ac_refine(
+                zz_blocks[ci], _true_blocks(comps, ci), 1, 63, 0, ac_codes
+            )
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -404,119 +747,98 @@ class _BitReader:
         return (self.win[pos >> 3] >> (32 - (pos & 7) - n)) & ((1 << n) - 1)
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → RGB8 (h, w, 3). Generic: reads tables and
-    sampling from the stream; supports 1/3 components, factors 1-2,
-    restart markers. Progressive/12-bit/arithmetic → NotImplementedError."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (no SOI)")
-    pos = 2
-    qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-    restart = 0
-    frame = None
-    scan = None
-    entropy_start = None
-    while pos < len(data) - 1:
-        if data[pos] != 0xFF:
-            pos += 1
-            continue
-        marker = data[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if marker == 0xD9:
-            break
-        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        body = data[pos + 4 : pos + 2 + ln]
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            b = 0
-            while b < len(body):
-                pq, tq = body[b] >> 4, body[b] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tab = np.frombuffer(body[b + 1 : b + 65], np.uint8).astype(np.int32)
-                inv = np.zeros(64, np.int32)
-                inv[_zz] = tab  # de-zigzag to row-major
-                qtabs[tq] = inv.reshape(8, 8)
-                b += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X} (progressive/"
-                "arithmetic/lossless) — use codec='pil'"
-            )
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
-            comps_raw = []
-            for ci in range(nc):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps_raw.append((cid, hv >> 4, hv & 15, tq))
-            frame = (fw, fh, comps_raw)
-        elif marker == 0xC4:  # DHT (possibly several tables per segment)
-            b = 0
-            while b < len(body):
-                tc, th = body[b] >> 4, body[b] & 15
-                bits = list(body[b + 1 : b + 17])
-                nv = sum(bits)
-                vals = list(body[b + 17 : b + 17 + nv])
-                huff[(tc, th)] = _flat_decode_table(tuple(bits), tuple(vals))
-                b += 17 + nv
-        elif marker == 0xDD:  # DRI
-            (restart,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
-                    for i in range(ns)]
-            entropy_start = pos + 2 + ln
-            break
-        pos += 2 + ln
-    if frame is None or scan is None:
-        raise ValueError("truncated JPEG: missing SOF/SOS")
-    fw, fh, comps_raw = frame
-    for _, hs, vs, _q in comps_raw:
-        if hs > 2 or vs > 2 or hs < 1 or vs < 1:
-            raise NotImplementedError(f"sampling factor {hs}x{vs}")
+_KERNEL_ERRORS = {
+    -1: "truncated JPEG entropy stream",
+    -2: "invalid Huffman code (DC)",
+    -3: "invalid Huffman code (AC)",
+    -4: "AC run past block end",
+}
 
-    samp = [(hs, vs) for _, hs, vs, _ in comps_raw]
-    hmax, vmax, mcux, mcuy, comps = _geometry(fw, fh, samp)
+
+def _scan_slot_maps(comps, scan_idx, mcux, mcuy):
+    """Per-data-unit (slot) maps for one scan in MCU-major order: the
+    scan-component index (selects the Huffman table pair), the component
+    index (selects the DC predictor), and the flat destination offset
+    into the concatenated coefficient store. All numpy — the C kernel
+    walks these instead of re-deriving MCU geometry."""
     n_mcu = mcux * mcuy
+    m = np.arange(n_mcu, dtype=np.int64)
+    my, mx = m // mcux, m % mcux
+    base, off = [], 0
+    for c in comps:
+        base.append(off)
+        off += c["by"] * c["bx"] * 64
+    cols_tab, cols_comp, cols_dst = [], [], []
+    for t, (ci, _td, _ta) in enumerate(scan_idx):
+        c = comps[ci]
+        for v_ in range(c["v"]):
+            for h_ in range(c["h"]):
+                bi = (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_)
+                cols_tab.append(np.full(n_mcu, t, np.int32))
+                cols_comp.append(np.full(n_mcu, ci, np.int32))
+                cols_dst.append(base[ci] + bi * 64)
+    slot_tab = np.ascontiguousarray(np.stack(cols_tab, 1).reshape(-1))
+    slot_comp = np.ascontiguousarray(np.stack(cols_comp, 1).reshape(-1))
+    slot_dst = np.ascontiguousarray(np.stack(cols_dst, 1).reshape(-1))
+    return slot_tab, slot_comp, slot_dst, off
 
-    # entropy stream: split on restart markers, strip stuffing per segment
-    end = data.rfind(b"\xff\xd9")
-    raw = data[entropy_start : end if end > 0 else len(data)]
-    segments: list[bytes] = []
-    if restart:
-        cur = bytearray()
-        i = 0
-        while i < len(raw):
-            if raw[i] == 0xFF and i + 1 < len(raw) and 0xD0 <= raw[i + 1] <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            cur.append(raw[i])
-            i += 1
-        segments.append(bytes(cur))
-    else:
-        segments = [raw]
-    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
 
-    # per-component zigzag coefficient store, MCU-padded raster block grid
+def _decode_entropy_native(
+    kern, segments, huff, scan_idx, comps, mcux, mcuy, restart
+):
+    """Entropy decode via the ctypes C kernel (functions/native.py):
+    Python pre-digests the scan into flat slot/table arrays, the kernel
+    runs the inherently-sequential per-symbol Huffman chain."""
+    n_mcu = mcux * mcuy
+    slot_tab, slot_comp, slot_dst, total = _scan_slot_maps(
+        comps, scan_idx, mcux, mcuy
+    )
+    dc = [_flat_decode_table(*huff[(0, td)]) for _ci, td, _ta in scan_idx]
+    ac = [_flat_decode_table(*huff[(1, ta)]) for _ci, _td, ta in scan_idx]
+    dc_len = np.concatenate([t[0] for t in dc])
+    dc_sym = np.concatenate([t[1] for t in dc])
+    ac_len = np.concatenate([t[0] for t in ac])
+    ac_sym = np.concatenate([t[1] for t in ac])
+    flat = np.zeros(total, np.int32)
+    spm = slot_tab.size // n_mcu
+    n_seg = -(-n_mcu // restart) if restart else 1
+    if len(segments) < n_seg:
+        raise ValueError("truncated JPEG: missing restart segment")
+    for si in range(n_seg):
+        mcu0 = si * restart if restart else 0
+        mcu1 = min(n_mcu, mcu0 + restart) if restart else n_mcu
+        lo, hi = mcu0 * spm, mcu1 * spm
+        seg = segments[si]
+        buf = np.frombuffer(seg + b"\x00" * 8, np.uint8)
+        rc = kern(
+            buf, len(seg) * 8, dc_len, dc_sym, ac_len, ac_sym,
+            slot_tab[lo:hi], slot_comp[lo:hi], slot_dst[lo:hi],
+            hi - lo, flat,
+        )
+        if rc:
+            raise ValueError(_KERNEL_ERRORS.get(rc, f"decode error {rc}"))
+    store, off = [], 0
+    for c in comps:
+        n = c["by"] * c["bx"]
+        store.append(flat[off : off + n * 64].reshape(n, 64))
+        off += n * 64
+    return store
+
+
+def _decode_entropy_python(
+    segments, huff, scan_idx, comps, mcux, mcuy, restart, n_mcu
+):
+    """Pure-Python fallback entropy decode for hosts without a C
+    compiler — the inlined-window per-symbol loop (~µs/symbol); the bit
+    reader is flattened into plain-int locals (win/pos) since method and
+    attribute overhead here costs ~2× on real streams. Semantics are
+    pinned equal to the C kernel by tests/test_jpeg.py."""
     store = [np.zeros((c["by"] * c["bx"], 64), np.int32) for c in comps]
-    sid_to_ci = {cid: i for i, (cid, *_r) in enumerate(comps_raw)}
     scan_tabs = []
-    for cid, td, ta in scan:
-        ci = sid_to_ci[cid]
-        dl, ds = huff[(0, td)]
-        al, asym = huff[(1, ta)]
+    for ci, td, ta in scan_idx:
+        dl, ds = _flat_decode_table_lists(*huff[(0, td)])
+        al, asym = _flat_decode_table_lists(*huff[(1, ta)])
         scan_tabs.append((ci, dl, ds, al, asym))
-
-    # The entropy loop is the decode hot path (~µs/symbol): the bit
-    # reader is inlined into plain-int locals (win/pos) — method-call and
-    # attribute overhead here costs ~2× on real streams.
     seg_i = 0
     rdr = _BitReader(segments[0])
     win, pos, nbits = rdr.win, 0, rdr.nbits
@@ -580,6 +902,363 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             v -= (1 << size) - 1
                         blk[k] = v
                         k += 1
+    return store
+
+
+# ------------------------------------------------- progressive decoding
+# T.81 Annex G: a progressive stream delivers the same quantized
+# coefficients as a baseline one, split across scans by spectral band
+# (ss..se) and bit precision (successive approximation ah/al). Decoding
+# is therefore: accumulate coefficient bits scan by scan into the same
+# per-component store the baseline path fills in one pass, then run the
+# shared dequant+IDCT tail. These loops are correctness-path Python —
+# progressive inputs are the wild-variant tail, not the synthetic-bench
+# hot path (which is our own baseline encoder).
+
+
+def _prog_reader(seg: bytes):
+    """(_BitReader, take, peek16) for one restart segment."""
+    rdr = _BitReader(seg)
+    return rdr
+
+
+def _prog_dc_scan(srec, segs, store, comps, sid_to_ci, mcux, mcuy):
+    """DC scan (ss=0): first pass (ah=0) Huffman-decodes diffs of the
+    point-transformed DC (<< al on store); refinement (ah>0) reads one
+    raw bit per block and ORs it in at position al (two's-complement OR
+    matches the encoder's arithmetic-shift point transform)."""
+    ah, al, restart = srec["ah"], srec["al"], srec["restart"]
+    scan_comps = [(sid_to_ci[cid], td) for cid, td, _ta in srec["comps"]]
+    n_mcu = mcux * mcuy
+    interleaved = len(scan_comps) > 1
+    slots: list[tuple[int, int]] = []
+    if interleaved:
+        for m in range(n_mcu):
+            my, mx = divmod(m, mcux)
+            for ci, _td in scan_comps:
+                c = comps[ci]
+                for v_ in range(c["v"]):
+                    for h_ in range(c["h"]):
+                        slots.append(
+                            (ci, (my * c["v"] + v_) * c["bx"] + (mx * c["h"] + h_))
+                        )
+    else:
+        ci, _td = scan_comps[0]
+        c = comps[ci]
+        bw, bh = -(-c["cw"] // 8), -(-c["ch"] // 8)
+        for r in range(bh):
+            for cc in range(bw):
+                slots.append((ci, r * c["bx"] + cc))
+    spm = (len(slots) // n_mcu) if interleaved else 1
+    seg_slots = restart * spm if restart else len(slots)
+    tabs = {}
+    if ah == 0:
+        for ci, td in scan_comps:
+            tabs[ci] = _flat_decode_table_lists(*srec["huff"][(0, td)])
+    idx, seg_i = 0, 0
+    while idx < len(slots):
+        if seg_i >= len(segs):
+            raise ValueError("truncated JPEG: missing restart segment")
+        rdr = _BitReader(segs[seg_i])
+        pred = [0] * len(comps)
+        for ci, bi in slots[idx : idx + seg_slots]:
+            blk = store[ci][bi]
+            if ah == 0:
+                if rdr.pos >= rdr.nbits:
+                    raise ValueError("truncated JPEG entropy stream")
+                dlen, dsym = tabs[ci]
+                w16 = rdr.peek16()
+                ln = dlen[w16]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code (DC)")
+                rdr.pos += ln
+                size = dsym[w16]
+                if size:
+                    v = rdr.take(size)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    pred[ci] += v
+                blk[0] = pred[ci] << al
+            else:
+                if rdr.pos >= rdr.nbits:
+                    raise ValueError("truncated JPEG entropy stream")
+                if rdr.take(1):
+                    blk[0] |= 1 << al
+        idx += seg_slots
+        seg_i += 1
+
+
+def _prog_ac_scan(srec, segs, store, comps, sid_to_ci):
+    """AC scan (ss>=1, exactly one component, non-interleaved raster over
+    the component's true block grid). First pass (ah=0) decodes band
+    coefficients with EOB-run coding; refinement (ah>0) runs the T.81
+    G.1.2.3 correction-bit algorithm."""
+    ss, se, ah, al, restart = (
+        srec["ss"], srec["se"], srec["ah"], srec["al"], srec["restart"]
+    )
+    if len(srec["comps"]) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _td, ta = srec["comps"][0]
+    ci = sid_to_ci[cid]
+    c = comps[ci]
+    alen, asym = _flat_decode_table_lists(*srec["huff"][(1, ta)])
+    bw, bh = -(-c["cw"] // 8), -(-c["ch"] // 8)
+    blocks = [r * c["bx"] + cc for r in range(bh) for cc in range(bw)]
+    seg_blocks = restart if restart else len(blocks)
+    p1, m1 = 1 << al, -1 << al
+    idx, seg_i = 0, 0
+    while idx < len(blocks):
+        if seg_i >= len(segs):
+            raise ValueError("truncated JPEG: missing restart segment")
+        rdr = _BitReader(segs[seg_i])
+        eobrun = 0
+        for bi in blocks[idx : idx + seg_blocks]:
+            blk = store[ci][bi]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    if rdr.pos >= rdr.nbits:
+                        raise ValueError("truncated JPEG entropy stream")
+                    w16 = rdr.peek16()
+                    ln = alen[w16]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code (AC)")
+                    rdr.pos += ln
+                    sym = asym[w16]
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r < 15:  # EOBn
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rdr.take(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    v = rdr.take(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    blk[k] = v << al
+                    k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        if rdr.pos >= rdr.nbits:
+                            raise ValueError("truncated JPEG entropy stream")
+                        w16 = rdr.peek16()
+                        ln = alen[w16]
+                        if ln == 0:
+                            raise ValueError("invalid Huffman code (AC)")
+                        rdr.pos += ln
+                        sym = asym[w16]
+                        r, s = sym >> 4, sym & 15
+                        newval = 0
+                        if s == 0:
+                            if r < 15:  # EOBn: run includes this block
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rdr.take(r)
+                                break
+                            # r == 15: run of 16 zero-history positions
+                        else:
+                            # s must be 1 in a refinement scan
+                            newval = p1 if rdr.take(1) else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if rdr.take(1) and not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if rdr.pos >= rdr.nbits:
+                                raise ValueError("truncated JPEG entropy stream")
+                            if rdr.take(1) and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+        idx += seg_blocks
+        seg_i += 1
+
+
+def _decode_progressive(scans, comps, sid_to_ci, mcux, mcuy):
+    """Accumulate every scan's coefficient bits into one per-component
+    zigzag store, then hand back the same structure the baseline path
+    produces (the dequant+IDCT tail is shared)."""
+    store = [np.zeros((c["by"] * c["bx"], 64), np.int64) for c in comps]
+    for srec in scans:
+        segs = _split_segments(srec["raw"], srec["restart"])
+        if srec["ss"] == 0:
+            if srec["se"] != 0:
+                raise ValueError("progressive DC scan must have se=0")
+            _prog_dc_scan(srec, segs, store, comps, sid_to_ci, mcux, mcuy)
+        else:
+            _prog_ac_scan(srec, segs, store, comps, sid_to_ci)
+    return [s.astype(np.int32) for s in store]
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """End offset of an entropy-coded segment: the first 0xFF followed by
+    a real marker (not 0x00 stuffing, not RSTn)."""
+    i = start
+    n = len(data)
+    while True:
+        i = data.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        b = data[i + 1]
+        if b == 0x00 or 0xD0 <= b <= 0xD7:
+            i += 2
+            continue
+        return i
+
+
+def _split_segments(raw: bytes, restart: int) -> list[bytes]:
+    """Entropy bytes → restart segments with 0xFF00 stuffing stripped."""
+    segments: list[bytes] = []
+    if restart:
+        cur = bytearray()
+        i = 0
+        while i < len(raw):
+            if raw[i] == 0xFF and i + 1 < len(raw) and 0xD0 <= raw[i + 1] <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            cur.append(raw[i])
+            i += 1
+        segments.append(bytes(cur))
+    else:
+        segments = [raw]
+    return [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline (SOF0) or progressive (SOF2) JFIF bytes → RGB8 (h, w, 3).
+    Generic: reads tables and sampling from the stream; supports 1/3
+    components, factors 1-2, restart markers, and progressive streams
+    with spectral selection + successive approximation (multi-scan,
+    DC/AC first and refinement passes, EOB runs). 12-bit / arithmetic /
+    lossless / hierarchical → NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[tuple, tuple]] = {}  # (class,id)→DHT spec
+    restart = 0
+    frame = None
+    sof_marker = None
+    scans: list[dict] = []
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(body[b + 1 : b + 65], np.uint8).astype(np.int32)
+                inv = np.zeros(64, np.int32)
+                inv[_zz] = tab  # de-zigzag to row-major
+                qtabs[tq] = inv.reshape(8, 8)
+                b += 65
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported SOF marker 0xFF{marker:02X} (arithmetic/"
+                "lossless/hierarchical) — use codec='pil'"
+            )
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            sof_marker = marker
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps_raw = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps_raw.append((cid, hv >> 4, hv & 15, tq))
+            frame = (fw, fh, comps_raw)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = (tuple(bits), tuple(vals))
+                b += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS (one per scan; progressive has many)
+            ns = body[0]
+            sc = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                  for i in range(ns)]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            e0 = pos + 2 + ln
+            e1 = _entropy_end(data, e0)
+            scans.append({
+                "comps": sc, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 15,
+                "restart": restart, "huff": dict(huff),
+                "raw": data[e0:e1],
+            })
+            pos = e1
+            continue
+        pos += 2 + ln
+    if frame is None or not scans:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+    fw, fh, comps_raw = frame
+    for _, hs, vs, _q in comps_raw:
+        if hs > 2 or vs > 2 or hs < 1 or vs < 1:
+            raise NotImplementedError(f"sampling factor {hs}x{vs}")
+
+    samp = [(hs, vs) for _, hs, vs, _ in comps_raw]
+    hmax, vmax, mcux, mcuy, comps = _geometry(fw, fh, samp)
+    n_mcu = mcux * mcuy
+    sid_to_ci = {cid: i for i, (cid, *_r) in enumerate(comps_raw)}
+
+    if sof_marker == 0xC2:
+        store = _decode_progressive(scans, comps, sid_to_ci, mcux, mcuy)
+    else:
+        if len(scans) != 1:
+            raise NotImplementedError("multi-scan baseline stream")
+        srec = scans[0]
+        segments = _split_segments(srec["raw"], srec["restart"])
+        scan_idx = [(sid_to_ci[cid], td, ta) for cid, td, ta in srec["comps"]]
+        kern = jpeg_decode_kernel()
+        if kern is not None:
+            store = _decode_entropy_native(
+                kern, segments, srec["huff"], scan_idx, comps, mcux, mcuy,
+                srec["restart"],
+            )
+        else:
+            store = _decode_entropy_python(
+                segments, srec["huff"], scan_idx, comps, mcux, mcuy,
+                srec["restart"], n_mcu,
+            )
 
     # dequant + de-zigzag + IDCT, vectorized per component
     planes = []
