@@ -26,38 +26,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (CORRECTNESS_r03 covered exactly registry entries 1-50). Rotate the 29
-# entries the r03 gate did not reach (+ hits, landed post-gate) to the
-# front so round 4 gives them hard external evidence (VERDICT r3 item 2);
-# every entry keeps its local replica gate in tests/test_analytics_oracle.py
-# regardless of driver order.
-_R3_GATED = frozenset({
-    "frontier_schedule", "ranked_microbatch", "anti_join_seen",
-    "top1_per_key", "left_join_coalesce", "reconcile_full_outer",
-    "set_intersection", "group_stats", "validators", "retry_policy",
-    "storage_gate", "recent_window_dedup", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_clusters", "sample_stratified",
-    "token_heavy_hitters", "dim_join_rollup", "brand_price_quantiles",
-    "supplier_balance_by_nation", "dedup_minhash_lsh", "simhash",
-    "dedup_simhash_pairs", "embedding_topk", "dedup_embedding_cosine",
-    "embedding_knn_lsh", "embedding_knn_ivf", "lang_id", "text_stats",
-    "token_counts", "corpus_stats", "doc_fingerprint",
-    "image_decode_stats", "image_features", "html_extraction",
-    "sessionize", "asof_join", "rolling_window", "event_funnel",
-    "quality_filter", "pii_scrub", "tfidf_topk", "dedup_retention",
-    "image_phash_pairs", "image_dedup_retention", "image_aspect_buckets",
+# per round. Rotation history: r3 gated registry entries 1-50; r4 rotated
+# the 30 r3-ungated entries to the front (CORRECTNESS_r04 = those 30 +
+# 20 re-checks). Round 5 rotates the 30 entries whose last driver row is
+# from r3 (below) to the front — these include every image/video/audio
+# query whose payload bytes changed when the real codec landed in r4, so
+# they get fresh external evidence; the remaining 50 slots re-check r4
+# rows. Every entry keeps its local replica gate in
+# tests/test_analytics_oracle.py regardless of driver order.
+_R5_FRONT = (
+    # new in r5 — first driver gate for these two container audits
+    "audio_container_stats", "image_container_stats",
+    # last driver row is r3 (rotation: see comment above)
+    "dedup_minhash_lsh", "simhash", "dedup_simhash_pairs",
+    "embedding_topk", "dedup_embedding_cosine", "embedding_knn_lsh",
+    "embedding_knn_ivf", "lang_id", "text_stats", "token_counts",
+    "corpus_stats", "doc_fingerprint", "image_decode_stats",
+    "image_features", "html_extraction", "sessionize", "asof_join",
+    "rolling_window", "event_funnel", "quality_filter", "pii_scrub",
+    "tfidf_topk", "dedup_retention", "image_phash_pairs",
+    "image_dedup_retention", "image_aspect_buckets",
     "image_quality_gate", "image_shard_pack", "audio_features",
     "video_frame_sample",
-})
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
     training-data pipeline ops). Each callable takes (spark, sf_dir).
-    Ordered so previously-ungated entries register first (see _R3_GATED)."""
+    Ordered so the entries lacking a round-4 driver row register first
+    (see _R5_FRONT)."""
     q = analytics.QUERIES
-    out = {k: v for k, v in q.items() if k not in _R3_GATED}
-    out.update({k: v for k, v in q.items() if k in _R3_GATED})
+    out = {k: q[k] for k in _R5_FRONT if k in q}
+    out.update({k: v for k, v in q.items() if k not in out})
     return out
 
 

@@ -1765,6 +1765,52 @@ def q_video_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_container_stats(payload).drop("error")
 
 
+def q_audio_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mp3 frame-header audit over a compressed-audio corpus (functions/
+    multimodal.audio_container_stats): frame count, duration, byte
+    split, bitrate range and CBR/VBR per clip from the frame headers
+    alone — no audio decoded. The inventory/validation pass the crawl
+    runs over formats it cannot decode in-container (audio.py is
+    WAV/PCM16-only; the reference accepts mp3 by signature,
+    file_downloader.py:633-637); truncated blobs fail soft to null rows.
+
+    Scale: map-only Arrow-batched pass, no shuffle; per-clip cost is
+    O(n_frames) 4-byte header reads, independent of frame payload size.
+
+    Oracle: VALUES ground truth — the deterministic container build
+    replayed + walked driver-side (groundtruth.
+    expected_audio_container_stats)."""
+    from . import datagen, schemas
+    from .functions.multimodal import audio_container_stats
+
+    payload = spark.createDataFrame(
+        datagen.gen_mp3_payload_pdf(30), schema=schemas.AUDIO_PAYLOAD_SCHEMA
+    )
+    return audio_container_stats(payload).drop("error")
+
+
+def q_image_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBP/GIF header audit over the undecodable-image population
+    (functions/multimodal.image_container_stats): variant
+    (vp8/vp8l/vp8x, gif87a/gif89a), dimensions and GIF frame count from
+    the container structure alone. Completes the accepted-image surface
+    (reference file_downloader.py:633-637): JPEG/PNG decode for real in
+    the numpy codecs, WEBP/GIF now parse for real instead of stopping at
+    magic bytes; malformed blobs fail soft to null rows.
+
+    Scale: map-only Arrow-batched pass, no shuffle, O(header) per blob.
+
+    Oracle: VALUES ground truth (groundtruth.
+    expected_image_container_stats)."""
+    from . import datagen, schemas
+    from .functions.multimodal import image_container_stats
+
+    payload = spark.createDataFrame(
+        datagen.gen_web_image_payload_pdf(30), schema=schemas.AUDIO_PAYLOAD_SCHEMA
+    )
+    return image_container_stats(payload).drop("error")
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl-archive ingestion (sources/warc.py): parse a plain .warc
     and a gzip .warc.gz (the Common-Crawl layout) into one row per record
@@ -3288,6 +3334,8 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "video_scene_cuts": q_video_scene_cuts,
     "video_container_stats": q_video_container_stats,
+    "audio_container_stats": q_audio_container_stats,
+    "image_container_stats": q_image_container_stats,
     "warc_ingest": q_warc_ingest,
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,

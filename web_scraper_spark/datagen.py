@@ -256,6 +256,93 @@ def gen_audio_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def mp3_frame_specs_for(i: int, seed: int = DEFAULT_SEED) -> list[tuple[int, int, int]]:
+    """Deterministic (bitrate_idx, samplerate_idx, padding) frame specs
+    for clip ``i``: every 3rd clip is VBR (bitrate cycles per frame),
+    the rest CBR; padding alternates; the sample rate is constant per
+    clip (spec requirement the audit enforces)."""
+    u = _stable_u64(f"mp3:{seed}:{i}")
+    n_frames = 8 + u % 17
+    si = u % 3
+    if i % 3 == 0:  # VBR: bitrate index walks a seeded cycle
+        return [
+            (1 + (u >> (f % 23)) % 14, si, (u >> f) & 1) for f in range(n_frames)
+        ]
+    bi = 1 + (u >> 7) % 14
+    return [(bi, si, f & 1) for f in range(n_frames)]
+
+
+def gen_mp3_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """mp3 container fixture (media_id, bytes, fmt, caption): valid
+    MPEG-1 Layer III frame-header chains (functions/audio.
+    encode_mp3_frames — headers and frame lengths fully conformant,
+    payload filler; the audit never decodes audio). Every 4th clip
+    carries an ID3v2 tag; every 13th is TRUNCATED mid-frame — the
+    soft-fail row for the audit's error path."""
+    from .functions.audio import encode_mp3_frames
+
+    rows = []
+    for i in range(n):
+        id3 = 48 + (i % 5) * 16 if i % 4 == 0 else 0
+        blob = encode_mp3_frames(mp3_frame_specs_for(i, seed), id3_size=id3, seed=i)
+        if i % 13 == 5:
+            blob = blob[: len(blob) - 7]
+        rows.append(
+            {
+                "media_id": media_id_for(i),
+                "bytes": blob,
+                "fmt": "mp3",
+                "caption": caption_for(i, seed),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+#: web-image container fixture dims cycle (w, h)
+WEBIMG_DIMS = ((320, 214), (64, 40), (1280, 720), (17, 9))
+
+
+def gen_web_image_payload_pdf(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """WEBP/GIF container fixture (media_id, bytes, fmt, caption): the
+    two accepted-image formats the numpy codecs cannot decode (reference
+    file_downloader.py:633-637 signatures). Containers are structurally
+    conformant (imaging.encode_webp_container / encode_gif_container);
+    variants cycle vp8 → vp8l → vp8x → gif89a(multi-frame) → gif87a;
+    every 11th blob is truncated for the soft-fail path."""
+    from .functions.imaging import encode_gif_container, encode_webp_container
+
+    rows = []
+    for i in range(n):
+        u = _stable_u64(f"webimg:{seed}:{i}")
+        w, h = WEBIMG_DIMS[u % len(WEBIMG_DIMS)]
+        kind = i % 5
+        if kind < 3:
+            variant = ("vp8", "vp8l", "vp8x")[kind]
+            blob = encode_webp_container(
+                w, h, variant, payload_len=120 + u % 200, seed=i
+            )
+            fmt = "webp"
+        else:
+            version = b"GIF89a" if kind == 3 else b"GIF87a"
+            blob = encode_gif_container(
+                w, h,
+                n_frames=1 + u % 4 if kind == 3 else 1,
+                payload_len=40 + u % 90, seed=i, version=version,
+            )
+            fmt = "gif"
+        if i % 11 == 7:
+            blob = blob[: max(14, len(blob) * 2 // 3)]
+        rows.append(
+            {
+                "media_id": media_id_for(i),
+                "bytes": blob,
+                "fmt": fmt,
+                "caption": caption_for(i, seed),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 #: video fixture parameters: frame-count cycle, 32×24 RGB, 8 fps
 VIDEO_NFRAMES = (12, 16, 24)
 VIDEO_W, VIDEO_H, VIDEO_FPS = 32, 24, 8

@@ -187,3 +187,113 @@ def decode_audio_features_batch(
             "ahash": "Int64",
         },
     )
+
+
+# ------------------------------------------------------ mp3 container
+# Frame-header walk WITHOUT decode — the audio analog of
+# mp4.parse_mp4 / q_video_container_stats: a crawl inventories and
+# validates an mp3 corpus from its frame headers alone (bitrate,
+# sample rate, frame count, CBR/VBR), at O(n_frames) header reads and
+# zero DCT/synthesis work. MPEG-1 Layer III only (the dominant wild
+# format); other versions/layers raise and the batch op fails them soft.
+
+#: MPEG-1 Layer III bitrate table, kbps, by 4-bit header index (1..14)
+MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None
+)
+#: MPEG-1 sample-rate table by 2-bit header index
+MP3_SAMPLE_RATES = (44100, 48000, 32000, None)
+#: samples per MPEG-1 Layer III frame
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def encode_mp3_frames(
+    frame_specs: list[tuple[int, int, int]], id3_size: int = 0, seed: int = 0
+) -> bytes:
+    """Deterministic mp3 CONTAINER: valid MPEG-1 Layer III frame headers
+    over filler payload bytes (+ optional ID3v2 tag). The audit path
+    never decodes audio, so fixture frames carry no real MDCT data —
+    exactly like the MP4 fixture carries MJPEG, the *container* is real:
+    every header field and frame length obeys the spec and any mp3
+    frame-walker agrees on the structure.
+
+    ``frame_specs``: (bitrate_idx, samplerate_idx, padding) per frame."""
+    out = bytearray()
+    if id3_size:
+        # ID3v2 header: "ID3", version 2.3.0, no flags, syncsafe size
+        sz = id3_size
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += bytes((7 * i + seed) % 251 for i in range(id3_size))
+    for fi, (bi, si, pad) in enumerate(frame_specs):
+        br, sr = MP3_BITRATES[bi], MP3_SAMPLE_RATES[si]
+        hdr = 0xFFFB_0000  # sync + MPEG1 + Layer III + no CRC
+        hdr |= (bi << 12) | (si << 10) | (pad << 9)
+        hdr |= 3 << 6  # mono
+        flen = 144_000 * br // sr + pad
+        frame = bytearray(struct.pack(">I", hdr))
+        body = bytes((3 * i + fi + seed) % 254 for i in range(flen - 4))
+        # keep filler clear of 0xFF so no spurious sync words appear
+        frame += body
+        out += frame
+    return bytes(out)
+
+
+def mp3_container_stats(data: bytes) -> dict:
+    """Walk the frame headers of an MPEG-1 Layer III stream: skip any
+    ID3v2 tag, then parse each 4-byte header and hop frame lengths.
+    Returns frame count, duration, byte split, bitrate stats and
+    CBR/VBR classification — no audio decoded."""
+    pos = 0
+    id3_bytes = 0
+    if data[:3] == b"ID3":
+        sz = (
+            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        )
+        id3_bytes = 10 + sz
+        pos = id3_bytes
+    n_frames = 0
+    frame_bytes = 0
+    bitrates = []
+    sr0 = None
+    while pos + 4 <= len(data):
+        b0, b1, b2, _b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if version != 3 or layer != 1:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III frame walks are supported"
+            )
+        bi = (b2 >> 4) & 15
+        si = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        br, sr = MP3_BITRATES[bi], MP3_SAMPLE_RATES[si]
+        if br is None or sr is None:
+            raise ValueError(f"invalid bitrate/samplerate index at byte {pos}")
+        if sr0 is None:
+            sr0 = sr
+        elif sr != sr0:
+            raise ValueError("sample rate changes mid-stream")
+        flen = 144_000 * br // sr + pad
+        if pos + flen > len(data):
+            raise ValueError("truncated final frame")
+        bitrates.append(br)
+        frame_bytes += flen
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no mp3 frames")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sr0,
+        "duration_s": round(n_frames * MP3_SAMPLES_PER_FRAME / sr0, 4),
+        "id3_bytes": id3_bytes,
+        "frame_bytes": frame_bytes,
+        "bitrate_min_kbps": min(bitrates),
+        "bitrate_max_kbps": max(bitrates),
+        "mode": "cbr" if len(set(bitrates)) == 1 else "vbr",
+    }

@@ -31,8 +31,10 @@ codecs:
     headroom), self-declared Huffman tables, byte stuffing, optional
     4:2:0 + restart intervals on decode. Emitted files open in any
     standard viewer; decode reads any 8-bit baseline sequential stream
-    (progressive/arithmetic → NotImplementedError, the honest boundary —
-    ``codec="pil"`` covers those on a real cluster). Blobs from THIS
+    AND progressive SOF2 streams (spectral selection + successive
+    approximation); arithmetic/lossless/12-bit → NotImplementedError,
+    the honest boundary — ``codec="pil"`` covers those on a real
+    cluster. Blobs from THIS
     encoder carry a JFIF COM tag and always decode through the numpy
     path even when PIL is importable, keeping phash ground truth
     bit-identical across hosts. The r1-r3 fake-lossy stub
@@ -292,6 +294,8 @@ def sniff_format(data: bytes | None) -> str | None:
         return "jpeg"  # stub codec presents as the lossy format
     if data[:4] == WEBP_SIG_A and data[8:12] == WEBP_SIG_B:
         return "webp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[4:8] in (b"ftyp", b"mdat", b"moov"):
         return "mp4"
     return None
@@ -382,3 +386,153 @@ def decode_validate_batch(
     return pd.DataFrame(
         {"ok": ok, "w": ws, "h": hs, "phash": ph, "error": pd.Series(err, dtype=object)}
     )
+
+
+# --------------------------------------------- webp / gif container audit
+# Header-parse-without-decode for the two accepted-image formats the
+# numpy codecs cannot decode (reference file_downloader.py:633-637 accepts
+# them by signature): the O(header) inventory/validation pass mirroring
+# mp4.parse_mp4 and audio.mp3_container_stats. Fixture builders emit
+# containers whose STRUCTURE is fully spec-conformant (RIFF chunk tree,
+# VP8/VP8L/VP8X bitstream headers, GIF block walk) over filler pixel
+# payload — the audit never decodes pixels, so the container is what must
+# be real, exactly like the MP4/MJPEG and mp3 fixtures.
+
+
+def encode_webp_container(
+    w: int, h: int, variant: str = "vp8", payload_len: int = 200, seed: int = 0
+) -> bytes:
+    """Deterministic WEBP container: RIFF/WEBP with a VP8 (lossy), VP8L
+    (lossless) or VP8X (extended, wrapping a VP8 frame) chunk whose
+    header encodes the true dimensions; frame payload is filler."""
+    filler = bytes((5 * i + seed) % 251 for i in range(payload_len))
+    if variant == "vp8":
+        # frame tag: keyframe(0) | version | show_frame | partition size
+        tag = (payload_len & 0x7FFFF) << 5 | (1 << 4)
+        chunk = struct.pack("<I", tag & 0xFFFFFF)[:3] + b"\x9d\x01\x2a"
+        chunk += struct.pack("<HH", w & 0x3FFF, h & 0x3FFF) + filler
+        body = b"VP8 " + struct.pack("<I", len(chunk)) + chunk
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)  # 14-bit w-1, 14-bit h-1, alpha=0
+        chunk = b"\x2f" + struct.pack("<I", bits) + filler
+        body = b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+    elif variant == "vp8x":
+        vp8x = bytes(4) + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        inner_tag = (payload_len & 0x7FFFF) << 5 | (1 << 4)
+        inner = struct.pack("<I", inner_tag & 0xFFFFFF)[:3] + b"\x9d\x01\x2a"
+        inner += struct.pack("<HH", w & 0x3FFF, h & 0x3FFF) + filler
+        body = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        body += b"VP8 " + struct.pack("<I", len(inner)) + inner
+        if len(inner) % 2:
+            body += b"\x00"  # RIFF chunks are 2-byte aligned
+    else:
+        raise ValueError(f"variant {variant!r}")
+    if len(body) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"WEBP" + body
+
+
+def parse_webp_header(data: bytes) -> dict:
+    """WEBP container audit: variant (vp8/vp8l/vp8x), dimensions, chunk
+    count — from the RIFF tree + bitstream headers alone, no decode."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP container")
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    if riff_size + 8 > len(data):
+        raise ValueError("truncated WEBP container")
+    pos = 12
+    variant = None
+    w = h = None
+    n_chunks = 0
+    while pos + 8 <= riff_size + 8:
+        fourcc = data[pos : pos + 4]
+        clen = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        payload = data[pos + 8 : pos + 8 + clen]
+        n_chunks += 1
+        if fourcc == b"VP8 " and variant != "vp8x":
+            if payload[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 start code")
+            variant = "vp8"
+            w = struct.unpack("<H", payload[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[8:10])[0] & 0x3FFF
+        elif fourcc == b"VP8L":
+            if payload[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = struct.unpack("<I", payload[1:5])[0]
+            variant = "vp8l"
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"VP8X":
+            variant = "vp8x"
+            w = 1 + int.from_bytes(payload[4:7], "little")
+            h = 1 + int.from_bytes(payload[7:10], "little")
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if variant is None:
+        raise ValueError("no VP8/VP8L/VP8X chunk")
+    return {"variant": variant, "w": w, "h": h, "n_chunks": n_chunks}
+
+
+def encode_gif_container(
+    w: int,
+    h: int,
+    n_frames: int = 1,
+    payload_len: int = 60,
+    seed: int = 0,
+    version: bytes = b"GIF89a",
+) -> bytes:
+    """Deterministic GIF container: logical screen descriptor + global
+    color table + ``n_frames`` image descriptors (each with LZW
+    min-code byte and length-prefixed filler sub-blocks) + trailer."""
+    out = bytearray(version)
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x01, 0, 0])  # GCT present, 4 entries (2^(1+1))
+    out += bytes((11 * i + seed) % 256 for i in range(3 * 4))  # GCT
+    for f in range(n_frames):
+        if version == b"GIF89a":  # graphic-control extension per frame
+            out += bytes([0x21, 0xF9, 4, 0, 10, 0, 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])  # no LCT
+        out += bytes([2])  # LZW minimum code size
+        filler = bytes((7 * i + f + seed) % 256 for i in range(payload_len))
+        for off in range(0, len(filler), 255):
+            sub = filler[off : off + 255]
+            out += bytes([len(sub)]) + sub
+        out += bytes([0])  # sub-block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif_header(data: bytes) -> dict:
+    """GIF container audit: version, logical-screen dims, frame count
+    (image descriptors), global-color-table size — via the block walk
+    alone, no LZW decode."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    version = data[:6].decode("ascii")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    gct_entries = 2 ** ((packed & 7) + 1) if packed & 0x80 else 0
+    pos = 13 + 3 * gct_entries
+    n_frames = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            return {
+                "version": version, "w": w, "h": h,
+                "n_frames": n_frames, "gct_entries": gct_entries,
+            }
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            n_frames += 1
+            packed_i = data[pos + 9]
+            lct = 2 ** ((packed_i & 7) + 1) if packed_i & 0x80 else 0
+            pos += 10 + 3 * lct + 1  # descriptor + LCT + LZW min code
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X} at byte {pos}")
+    raise ValueError("truncated GIF: missing trailer")

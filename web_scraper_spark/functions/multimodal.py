@@ -403,3 +403,128 @@ def video_container_stats(payload: DataFrame) -> DataFrame:
     return payload.select("media_id", "bytes").mapInPandas(
         _work, schema=VIDEO_CONTAINER_SCHEMA
     )
+
+
+AUDIO_CONTAINER_SCHEMA = (
+    "media_id string, container_bytes int, n_frames int, sample_rate int, "
+    "duration_s double, id3_bytes int, frame_bytes int, "
+    "bitrate_min_kbps int, bitrate_max_kbps int, mode string, error string"
+)
+
+
+def audio_container_stats(payload: DataFrame) -> DataFrame:
+    """mp3 frame-header audit — one row per clip from the frame-header
+    walk alone (functions/audio.mp3_container_stats): frame count,
+    duration, byte split, bitrate range, CBR/VBR. NO audio is decoded —
+    the O(n_frames·header) inventory pass a crawl runs over a compressed
+    audio corpus it cannot (or need not) decode; the audio analog of
+    video_container_stats. Map-only; unparseable blobs fail soft to an
+    error row."""
+    from . import audio as _audio
+
+    def _work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                try:
+                    data = bytes(data)
+                    s = _audio.mp3_container_stats(data)
+                    rows.append(
+                        {"media_id": mid, "container_bytes": len(data), **s,
+                         "error": None}
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "container_bytes": len(bytes(data)) if data is not None else 0,
+                            "n_frames": None, "sample_rate": None,
+                            "duration_s": None, "id3_bytes": None,
+                            "frame_bytes": None, "bitrate_min_kbps": None,
+                            "bitrate_max_kbps": None, "mode": None,
+                            "error": f"validation: {e}",
+                        }
+                    )
+            from .imaging import typed_frame
+
+            yield typed_frame(
+                rows,
+                {
+                    "container_bytes": "Int32", "n_frames": "Int32",
+                    "sample_rate": "Int32", "duration_s": "Float64",
+                    "id3_bytes": "Int32", "frame_bytes": "Int32",
+                    "bitrate_min_kbps": "Int32", "bitrate_max_kbps": "Int32",
+                },
+            )
+
+    return payload.select("media_id", "bytes").mapInPandas(
+        _work, schema=AUDIO_CONTAINER_SCHEMA
+    )
+
+
+IMAGE_CONTAINER_SCHEMA = (
+    "media_id string, container_bytes int, fmt string, variant string, "
+    "w int, h int, n_frames int, error string"
+)
+
+
+def image_container_stats(payload: DataFrame) -> DataFrame:
+    """WEBP/GIF header audit — one row per blob from the container
+    structure alone (functions/imaging.parse_webp_header /
+    parse_gif_header): variant (vp8/vp8l/vp8x or gif87a/gif89a),
+    dimensions, GIF frame count. These are the accepted-image formats
+    (reference file_downloader.py:633-637 signatures) the numpy codecs
+    cannot decode — the audit inventories and validates them at
+    O(header) without any pixel work; ``codec="pil"`` remains the decode
+    path on a real cluster. Map-only; malformed blobs fail soft."""
+    from .imaging import parse_gif_header, parse_webp_header, sniff_format
+
+    def _work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                try:
+                    data = bytes(data)
+                    fmt = sniff_format(data)
+                    if fmt == "webp":
+                        p = parse_webp_header(data)
+                        row = {
+                            "fmt": "webp", "variant": p["variant"],
+                            "w": p["w"], "h": p["h"], "n_frames": 1,
+                        }
+                    elif fmt == "gif":
+                        p = parse_gif_header(data)
+                        row = {
+                            "fmt": "gif", "variant": p["version"].lower(),
+                            "w": p["w"], "h": p["h"],
+                            "n_frames": p["n_frames"],
+                        }
+                    else:
+                        raise ValueError(f"not a webp/gif container ({fmt})")
+                    rows.append(
+                        {"media_id": mid, "container_bytes": len(data), **row,
+                         "error": None}
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "container_bytes": len(bytes(data)) if data is not None else 0,
+                            "fmt": None, "variant": None, "w": None,
+                            "h": None, "n_frames": None,
+                            "error": f"validation: {e}",
+                        }
+                    )
+            from .imaging import typed_frame
+
+            yield typed_frame(
+                rows,
+                {
+                    "container_bytes": "Int32", "w": "Int32", "h": "Int32",
+                    "n_frames": "Int32",
+                },
+            )
+
+    return payload.select("media_id", "bytes").mapInPandas(
+        _work, schema=IMAGE_CONTAINER_SCHEMA
+    )

@@ -209,6 +209,43 @@ def ivf_topk(
     )
 
 
+def _semdedup_prune_blas(c: DataFrame, tau: float) -> DataFrame:
+    """Arrow-batched per-cell SemDeDup scorer: one ``G = E @ E.T`` BLAS
+    call per cell instead of |cell|² zip_with expression rows. Same
+    shuffle shape as the SQL self-join (one exchange on ``cell``) and
+    the same decision semantics — cosine rounded HALF-UP to 6 dp before
+    the ``>= tau`` compare, a lower-id cell-mate above the threshold
+    prunes the higher id. The norm column computed by the caller is
+    reused so the denominator is bit-identical to the SQL path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def _one_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        E = np.asarray(
+            [np.asarray(v, np.float64) for v in pdf["e"].to_numpy()[order]]
+        )
+        nn = pdf["n"].to_numpy()[order]
+        G = (E @ E.T) / np.outer(nn, nn)
+        G = np.floor(G * 1e6 + 0.5) / 1e6  # ROUND HALF_UP, like Spark SQL
+        pruned = np.tril(G >= tau, -1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": pdf["cell"].to_numpy()[order], "kept": ~pruned}
+        )
+
+    return c.groupBy("cell").applyInPandas(_one_cell, schema=schema)
+
+
 def semdedup_prune(
     corpus: DataFrame,
     dim: int,
@@ -217,6 +254,7 @@ def semdedup_prune(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "sql",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest coarse cell, compute pairwise cosine only
@@ -231,16 +269,25 @@ def semdedup_prune(
     vector are |cell| not n, and in production n_cells is sized so cells
     stay bounded (SemDeDup uses ~10^5 k-means clusters for ~10^8 docs);
     the self-join is an equi-join on ``cell`` so it shuffles once and
-    SMJ/AQE handle skewed cells. The per-pair dot is the sequential
-    zip_with fold (oracle-identical); at corpus scale swap in the
-    BLAS-blocked scorer (cosine_pairs_blocked) per cell partition —
-    same argmin/threshold semantics, Arrow-batched."""
+    SMJ/AQE handle skewed cells.
+
+    ``scorer``: "sql" (default) scores pairs with the zip_with fold —
+    pure column expressions, the oracle-replayable reference;
+    ``scorer="blas"`` routes each cell through _semdedup_prune_blas
+    (one E@Eᵀ matmul per cell in an Arrow batch) — same decision
+    semantics and shuffle shape, pinned equal by
+    tests/test_similarity.py, and the path to pick once |cell| makes
+    the expression-row quadratic the bottleneck."""
+    if scorer not in ("sql", "blas"):
+        raise ValueError(f"scorer must be 'sql' or 'blas', got {scorer!r}")
     cents = ivf_centroids(dim, n_cells, seed)
     c = (
         corpus.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e"))
         .withColumn("n", _norm(F.col("e")))
         .withColumn("cell", F.array_max(_cell_scores(F.col("e"), cents)).getField("cell"))
     )
+    if scorer == "blas":
+        return _semdedup_prune_blas(c, tau)
     a = c.select("cell", F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), F.col("n").alias("an"))
     b = c.select("cell", F.col("vec_id").alias("b_id"), F.col("e").alias("be"), F.col("n").alias("bn"))
     pruned = (
