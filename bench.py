@@ -121,6 +121,25 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def gc_ms(spark) -> int | None:
+    """Cumulative JVM GC milliseconds across executors (local mode: the
+    one driver-executor), via the UI REST API. Deltas around a timed leg
+    attribute how much of its wall clock was stop-the-world GC — the
+    declared follow-up for the r4 scaling decomposition."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/executors", timeout=5
+        ) as r:
+            ex = json.load(r)
+        return int(sum(e.get("totalGCTime", 0) for e in ex))
+    except Exception:
+        return None  # UI disabled — attribution simply absent
+
+
 def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> dict:
     """Throughput of the engine's two frontier phases, mirroring
     plans/crawl.py exactly:
@@ -156,10 +175,14 @@ def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> di
         # 10× between runs and is a cluster property, not engine throughput
         seeded = seed_frontier_from_site(site)
         t_seed = float("inf")
+        gc0 = gc_ms(spark)
+        t_seed_total = time.time()
         for _ in range(2):
             t0 = time.time()
             force(seeded)
             t_seed = min(t_seed, time.time() - t0)
+        t_seed_total = time.time() - t_seed_total
+        gc_seed = gc_ms(spark)
         # the schedule leg still reads a real on-disk frontier table
         seeded.write.parquet(f"{tmp}/frontier")
 
@@ -181,13 +204,20 @@ def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> di
         ).cache()
         shards.count()
         t_sched = float("inf")
+        gc1 = gc_ms(spark)
+        t_sched_total = time.time()
         for _ in range(2):
             t0 = time.time()
             # engine order (plans/crawl.py): rank/slice FIRST, probe the
             # BOUNDED batch — probing the whole frontier would re-run the
             # UDF per downstream pass because Catalyst cannot push the
-            # priority cutoff below an ArrowEvalPython node
-            batch = take_batch(frontier, batch_size).drop("seq").localCheckpoint(eager=True)
+            # priority cutoff below an ArrowEvalPython node.
+            # The ranked batch is NOT checkpointed: its one consumer chain
+            # ends at the `fresh` checkpoint below, which cuts the lineage
+            # for every fan-out consumer — materializing the pre-probe
+            # batch too was a second full batch-sized block write per
+            # batch for nothing (the r4 phase probe charged it to rank).
+            batch = take_batch(frontier, batch_size).drop("seq")
             probed = bloom_probe(batch, shards, n_shards=32)
             # pin the probed batch (as plans/crawl.py does): wave counts,
             # the placement pass and the bloom update all branch from it —
@@ -202,10 +232,23 @@ def frontier_throughput(spark, n_rows: int, batch_size: int | None = None) -> di
             force(placed)
             force(update_bloom_shards(shards, fresh.select("url_hash"), n_shards=32))
             t_sched = min(t_sched, time.time() - t0)
+        t_sched_total = time.time() - t_sched_total
+        gc2 = gc_ms(spark)
         shards.unpersist()
+        gc_attr = {}
+        if gc0 is not None and gc2 is not None:
+            # GC share of each leg's wall clock (across both timed
+            # iterations — attribution, not a headline)
+            gc_attr = {
+                "gc_seed_s": round((gc_seed - gc0) / 1000, 3),
+                "gc_seed_share": round((gc_seed - gc0) / 1000 / max(t_seed_total, 1e-9), 3),
+                "gc_schedule_s": round((gc2 - gc1) / 1000, 3),
+                "gc_schedule_share": round((gc2 - gc1) / 1000 / max(t_sched_total, 1e-9), 3),
+            }
         return {
             "seed_s": round(t_seed, 3),
             "schedule_s": round(t_sched, 3),
+            **gc_attr,
             # headline = the RECURRING per-batch path (probe → cutoff →
             # rank → waves → incremental filter update). Seeding is the
             # one-time synthetic-input bootstrap — a production frontier

@@ -102,6 +102,10 @@ def child(cpus: int, rows: int) -> None:
         app_name=f"wss-scale-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=64,
+        # session default disables the UI; the scaling children re-enable
+        # it because bench.gc_ms reads per-leg GC time off its REST API
+        # (the r4 verdict's per-leg GC attribution)
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"},
     )
     # size the legs like a production micro-batch (minutes of work, not
     # seconds): with seconds-long jobs, fixed driver/job-scheduling costs
