@@ -104,8 +104,16 @@ def child(cpus: int, rows: int) -> None:
         shuffle_partitions=64,
         # session default disables the UI; the scaling children re-enable
         # it because bench.gc_ms reads per-leg GC time off its REST API
-        # (the r4 verdict's per-leg GC attribution)
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"},
+        # (the r4 verdict's per-leg GC attribution). Shuffle spills go to
+        # tmpfs: the sandbox's one virtio disk sustains ~460 MB/s SHARED
+        # across both legs, so on-disk shuffle measures the disk, not the
+        # engine — a real 4N-node cluster brings 4N local shuffle disks,
+        # which per-leg tmpfs models honestly (documented in BENCH.md).
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": f"/dev/shm/wss-scale-{cpus}",
+        },
     )
     # size the legs like a production micro-batch (minutes of work, not
     # seconds): with seconds-long jobs, fixed driver/job-scheduling costs

@@ -51,7 +51,11 @@ def child(cpus: int, rows: int, aligned: bool) -> None:
     from web_scraper_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"wss-phase-{cpus}", master=f"local[{cpus}]", shuffle_partitions=64
+        app_name=f"wss-phase-{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
+        # tmpfs shuffle dirs, same rationale as scaling_bench.py: the one
+        # shared ~460 MB/s virtio disk under both legs measures the disk,
+        # not the engine; a real 4N-node cluster has 4N local disks
+        extra_conf={"spark.local.dir": f"/dev/shm/wss-phase-{cpus}"},
     )
     batch_size = rows // 8
     tmp = tempfile.mkdtemp(prefix="wss_phase_")

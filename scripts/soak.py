@@ -40,10 +40,17 @@ def main() -> None:
     batches = 1000
     maintenance_every = 100
     discovery = "--discovery" in sys.argv
+    table_format = "parquet"
     if "--batches" in sys.argv:
         batches = int(sys.argv[sys.argv.index("--batches") + 1])
     if "--maintenance-every" in sys.argv:
         maintenance_every = int(sys.argv[sys.argv.index("--maintenance-every") + 1])
+    if "--table-format" in sys.argv:
+        # "iceberg" soaks the Avro metadata-tree backend: same engine,
+        # same bounds, plus a metadata-file-count bound proving the tree
+        # doesn't sprawl (manifests bounded by maintenance cadence,
+        # version files vacuumed)
+        table_format = sys.argv[sys.argv.index("--table-format") + 1]
 
     from web_scraper_spark import datagen, schemas
     from web_scraper_spark.plans.crawl import CrawlEngine
@@ -75,7 +82,7 @@ def main() -> None:
 
         eng = DiscoveringCrawlEngine(
             os.path.join(tmp, "state"), batch_size=batch_size,
-            n_partitions=8, lookahead=2,
+            n_partitions=8, lookahead=2, table_format=table_format,
         )
         eng.attach_store(ppath, {})
         eng.attach_listing_faults({
@@ -86,7 +93,8 @@ def main() -> None:
         eng.init_discovery(spark, n_pages, batch_size)
     else:
         eng = CrawlEngine(
-            os.path.join(tmp, "state"), batch_size=batch_size, n_partitions=8
+            os.path.join(tmp, "state"), batch_size=batch_size, n_partitions=8,
+            table_format=table_format,
         )
         eng.attach_store(ppath, {})
         eng.init(datagen.site_graph_df(spark, n_pages, batch_size))
@@ -101,9 +109,22 @@ def main() -> None:
             for name in ("seen", "failures", "payload_out", "schedule_log", "bloom_delta")
         }
 
+    from web_scraper_spark.sources.iceberg import IcebergSnapshotTable
+
+    def meta_files() -> dict[str, int]:
+        """Iceberg metadata-tree size per table (version files + manifest
+        lists + manifests) — the sprawl metric: bounded iff vacuum expires
+        version files and the reachability sweep collects dead manifests."""
+        return {
+            name: len(os.listdir(t._meta_dir))
+            for name, t in vars(eng).items()
+            if isinstance(t, IcebergSnapshotTable)
+        }
+
     batch_s: list[float] = []
     jobs: list[int] = []
     max_groups: dict[str, int] = {}
+    max_meta: dict[str, int] = {}
     t_start = time.time()
     retries = 0
     for i in range(batches):
@@ -136,6 +157,8 @@ def main() -> None:
             break
         for k, n in file_groups().items():
             max_groups[k] = max(max_groups.get(k, 0), n)
+        for k, n in meta_files().items():
+            max_meta[k] = max(max_meta.get(k, 0), n)
         if (i + 1) % maintenance_every == 0:
             eng.compact_state(spark)
             eng.vacuum_state(keep_checkpoints=2)
@@ -154,6 +177,7 @@ def main() -> None:
     last_j = statistics.median(jobs[-k:])
     out = {
         "mode": "discovery" if discovery else "preseeded",
+        "table_format": table_format,
         "batches": n,
         "maintenance_every": maintenance_every,
         "wall_s": round(time.time() - t_start, 1),
@@ -167,10 +191,19 @@ def main() -> None:
         "urls_done": int(eng.checkpoints.latest()["seen_count"]),
         "batch_retries": retries,
     }
+    if max_meta:
+        out["max_meta_files"] = max_meta
+        out["final_meta_files"] = meta_files()
     ok = (
         last_s <= 1.5 * first_s
         and last_j <= first_j + 2
         and all(v <= 2 * maintenance_every for v in max_groups.values())
+        # iceberg metadata tree bounded by the maintenance cadence: per
+        # window each commit adds ~4 metadata files and vacuum reclaims
+        # below the retained-checkpoint horizon — 8×interval is the
+        # generous sprawl bound that a leak (never-vacuumed versions or
+        # unreachable manifests surviving) would cross within 2 windows
+        and all(v <= 8 * maintenance_every for v in max_meta.values())
     )
     out["bounds_ok"] = ok
     print(json.dumps(out))

@@ -253,9 +253,16 @@ def rank_slice(
     w = Window.partitionBy("priority").orderBy(
         F.col("position").asc(), F.col("url_hash").asc()
     )
+    # No forced broadcast: offsets is O(contributing priorities) — a few
+    # rows for the engine's bounded micro-batches (AQE converts the join
+    # to a runtime broadcast there) but ~batch/24 rows at bench scale,
+    # where forcing a driver-built broadcast of a batch-sized table per
+    # batch is a serial slice that never scales. Unhinted, the shuffle
+    # join hash-partitions on exactly the window's key, so Catalyst
+    # reuses one Exchange for join + window.
     ranked = (
         frontier.filter(F.col("priority") >= int(cutoff))
-        .join(F.broadcast(offsets), "priority")
+        .join(offsets, "priority")
         .withColumn("seq", (F.col("__offset") + F.row_number().over(w)).cast("long"))
         .drop("__offset")
     )

@@ -44,25 +44,60 @@ def assign_waves(batch: DataFrame, per_host_parallelism: int = 3) -> DataFrame:
     host_rank stays exactly the rank over (priority desc, position, hash)
     within the host.
     """
-    # offsets computed wholly JVM-side: the per-host running sum windows
-    # over DISTINCT (host, priority) rows only — a driver pandas
-    # round-trip here measured slower than the whole ranking
+    # offsets computed wholly JVM-side and TWO-LEVEL, like
+    # frontier.priority_offsets: a flat per-host running sum would put
+    # every (host, priority) count row of a host in ONE window task —
+    # with a batch-scale count table (millions of pairs at bench
+    # geometry) that is an n_hosts-way-parallel serial slice. Level 1
+    # cumulates per-(host, 256-priority-range) totals (tiny table, its
+    # per-host window is over ranges, not priorities); level 2 cumulates
+    # within each (host, range) — parallel across hosts × ranges.
+    from .frontier import _RANGE_SHIFT
+
     counts = batch.groupBy("host", "priority").count()
-    woff = (
+    rng = F.shiftright(F.col("priority"), _RANGE_SHIFT)
+    rtot = counts.groupBy("host", rng.alias("__range")).agg(
+        F.sum("count").alias("__rtot")
+    )
+    wr = (
         Window.partitionBy("host")
+        .orderBy(F.col("__range").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rbase = rtot.select(
+        "host",
+        "__range",
+        F.coalesce(F.sum("__rtot").over(wr), F.lit(0)).alias("__rbase"),
+    )
+    win = (
+        Window.partitionBy("host", "__range")
         .orderBy(F.col("priority").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        "host",
-        "priority",
-        F.coalesce(F.sum("count").over(woff), F.lit(0)).alias("__offset"),
+    offsets = (
+        counts.withColumn("__range", rng)
+        .join(rbase, ["host", "__range"])  # rbase is tiny → AQE broadcasts
+        .select(
+            "host",
+            "priority",
+            (
+                F.col("__rbase") + F.coalesce(F.sum("count").over(win), F.lit(0))
+            ).alias("__offset"),
+        )
     )
     w = Window.partitionBy("host", "priority").orderBy(
         F.col("position").asc(), F.col("url_hash").asc()
     )
+    # No forced broadcast on the offsets join: offsets is O(distinct
+    # (host, priority) pairs in the batch) — tiny for the engine's
+    # bounded micro-batches (AQE converts the join to a runtime broadcast
+    # there) but MILLIONS of rows for a bench-scale 32M-row batch, where
+    # a forced broadcast serializes a batch-sized table through the
+    # driver every batch (measured as the waves phase's non-scaling slice
+    # at 256M rows). The shuffle join hash-partitions on exactly the
+    # window's keys, so Catalyst reuses one Exchange for join + window.
     return (
-        batch.join(F.broadcast(offsets), ["host", "priority"])
+        batch.join(offsets, ["host", "priority"])
         .withColumn("host_rank", (F.col("__offset") + F.row_number().over(w) - 1).cast("int"))
         .drop("__offset")
         .withColumn("fetch_wave", (F.col("host_rank") / per_host_parallelism).cast("int"))
