@@ -364,3 +364,44 @@ def test_engine_e2e_trace_equal_across_backends(spark, tmp_path):
         traces[fmt + "_state"] = (statuses, seen)
     assert traces["parquet"] == traces["iceberg"]
     assert traces["parquet_state"] == traces["iceberg_state"]
+
+
+def test_engine_maintenance_reclaims_iceberg_metadata(spark, tmp_path):
+    """vacuum_state/state_at must treat Iceberg-backed tables as state
+    tables (regression: an isinstance(SnapshotTable) guard skipped them,
+    so the r5 soak saw the metadata tree grow monotonically — vacuum
+    returned {} and reclaimed nothing)."""
+    import os as _os
+
+    from web_scraper_spark import datagen, schemas
+    from web_scraper_spark.plans.crawl import CrawlEngine
+
+    root = str(tmp_path)
+    n_pages, vpp = 3, 24
+    ppath = _os.path.join(root, "payload")
+    spark.createDataFrame(
+        datagen.gen_payload_pdf(n_pages * vpp), schema=schemas.PAYLOAD_SCHEMA
+    ).write.parquet(ppath)
+    eng = CrawlEngine(
+        _os.path.join(root, "state"), batch_size=24, n_partitions=4,
+        table_format="iceberg",
+    )
+    eng.attach_store(ppath, {})
+    eng.init(datagen.site_graph_df(spark, n_pages, vpp), datagen.robots_df(spark))
+    eng.run(spark, max_batches=6)
+
+    def meta_count(t):
+        return len(_os.listdir(t._meta_dir))
+
+    before = meta_count(eng.frontier)
+    eng.compact_state(spark)
+    out = eng.vacuum_state(keep_checkpoints=1)
+    # every checkpointed iceberg table was vacuumed (not silently skipped)
+    assert "frontier" in out and "seen" in out, out
+    after = meta_count(eng.frontier)
+    assert after < before, (before, after)
+    # time travel still resolves through the iceberg backend
+    ck = eng.checkpoints.latest()
+    state = eng.state_at(spark, int(ck["batch_id"]))
+    assert state["frontier"] is not None
+    assert state["frontier"].count() > 0

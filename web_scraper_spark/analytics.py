@@ -1786,7 +1786,14 @@ def q_audio_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = spark.createDataFrame(
         datagen.gen_mp3_payload_pdf(30), schema=schemas.AUDIO_PAYLOAD_SCHEMA
     )
-    return audio_container_stats(payload).drop("error")
+    # soft-fail rows keep their identity but carry sentinels, not nulls —
+    # the gate's row sort/hash must never compare None against a value
+    return (
+        audio_container_stats(payload)
+        .drop("error")
+        .na.fill(-1)
+        .na.fill({"mode": "invalid"})
+    )
 
 
 def q_image_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1808,7 +1815,13 @@ def q_image_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = spark.createDataFrame(
         datagen.gen_web_image_payload_pdf(30), schema=schemas.AUDIO_PAYLOAD_SCHEMA
     )
-    return image_container_stats(payload).drop("error")
+    # sentinels instead of nulls on soft-fail rows (see audio audit)
+    return (
+        image_container_stats(payload)
+        .drop("error")
+        .na.fill(-1)
+        .na.fill({"fmt": "invalid", "variant": "invalid"})
+    )
 
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

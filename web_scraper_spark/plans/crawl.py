@@ -63,7 +63,15 @@ from ..operators.frontier import (
     seed_frontier_from_site,
 )
 from ..operators.politeness import assign_waves, salted_repartition
+from ..sources.iceberg import IcebergSnapshotTable
 from ..sources.snapshots import CheckpointLog, SnapshotTable
+
+#: both SnapshotTable-contract implementations — every "is this engine
+#: attribute a state table" check must accept BOTH, or maintenance /
+#: time-travel silently skips Iceberg-backed tables (the r5 iceberg soak
+#: caught exactly that: vacuum_state skipping every table let the
+#: metadata tree grow monotonically)
+STATE_TABLE_TYPES = (SnapshotTable, IcebergSnapshotTable)
 from ..sources.store import (
     fetch_and_validate,
     fetch_and_validate_http,
@@ -1343,7 +1351,7 @@ class CrawlEngine:
         # listing — are vacuumed too, not just the base engine's list
         for name in kept[-1]["versions"]:
             table = getattr(self, name, None)
-            if not isinstance(table, SnapshotTable):
+            if not isinstance(table, STATE_TABLE_TYPES):
                 continue
             horizon = min(int(ck["versions"].get(name, 0)) for ck in kept)
             out[name] = table.vacuum(horizon)
@@ -1467,7 +1475,7 @@ class CrawlEngine:
         out: dict[str, DataFrame | None] = {}
         for name, ver in ck["versions"].items():
             table = getattr(self, name, None)
-            if isinstance(table, SnapshotTable):
+            if isinstance(table, STATE_TABLE_TYPES):
                 out[name] = table.read(spark, int(ver))
         return out
 
@@ -1502,7 +1510,7 @@ class CrawlEngine:
         rows = []
         for name, ver in sorted(ck["versions"].items()):
             t = getattr(self, name, None)
-            if isinstance(t, SnapshotTable):
+            if isinstance(t, STATE_TABLE_TYPES):
                 rows.extend(t.lineage(int(ver)))
         return spark.createDataFrame(
             [
@@ -1539,7 +1547,7 @@ class CrawlEngine:
             raise RuntimeError("changes_between: no checkpoint for the given batch id")
         t = getattr(self, table, None)
         if (
-            not isinstance(t, SnapshotTable)
+            not isinstance(t, STATE_TABLE_TYPES)
             or table not in ck_from["versions"]
             or table not in ck_to["versions"]
         ):
